@@ -1,0 +1,22 @@
+"""Test configuration: run the suite on CPU with 8 fake devices and f64.
+
+Mirrors the reference's distributed-testing strategy (SURVEY.md §6:
+``mpirun -np 8`` on one node) by exposing 8 virtual XLA CPU devices so every
+multi-chip code path (shard_map / ppermute halo exchange) is exercised without
+TPU hardware.  f64 is enabled because convergence-order assertions need it
+(SURVEY.md §9.3); the library itself stays dtype-parametric.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
