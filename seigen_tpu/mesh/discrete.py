@@ -1,0 +1,276 @@
+"""Discrete mesh: DG connectivity + geometric factors (host-side, NumPy f64).
+
+Rebuild equivalent of the reference's mesh layer (SURVEY.md §5.5): what PETSc
+DMPlex + PyOP2 Sets/Maps/Halos provide there — global DG dof numbering, face
+pairing, orientation permutations — is computed here once at setup into dense
+index arrays, after which everything is device-resident.
+
+The face-neighbour connectivity uses the "face-owner gather" formulation
+(SURVEY.md §9.3): each element gathers its neighbours' face-node traces via a
+precomputed flat index array ``nbr`` of shape (E, n_faces, n_fp) into the
+flattened (E * n_p) node space — no scatter anywhere on the device hot path.
+Node matching is geometric and orientation-agnostic: every face node is keyed
+by (sorted canonical face-vertex ids, barycentric coordinates in that sorted
+order), and identical keys are paired.  Periodic boundaries fall out of the
+same mechanism via canonical vertex identification.
+
+A C++ twin of this module lives in ``seigen_tpu/mesh/native`` for large-mesh
+setup speed (reference parity: DMPlex/METIS are C); this NumPy implementation
+is the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..refelem import RefElem, ref_elem
+from .structured import MeshTopology
+
+# Boundary-condition codes carried per (element, face).
+BC_INTERIOR = 0
+BC_FREE = 1  # traction-free (free surface), imposed weakly via mirror flux
+BC_ABSORB = 2  # characteristic absorbing face (pairs with sponge damping)
+
+
+@dataclass(frozen=True)
+class DiscreteMesh:
+    """Everything the device operators need, as dense host arrays."""
+
+    re: RefElem
+    topology: MeshTopology
+    num_elements: int
+    coords: np.ndarray  # (E, n_p, dim) physical node coordinates
+    Ginv: np.ndarray  # (E, dim, dim): d xi_r / d x_d
+    detJ: np.ndarray  # (E,) |det J| > 0
+    Fscale: np.ndarray  # (E, n_faces) = sJ / detJ
+    normals: np.ndarray  # (E, n_faces, dim) outward unit normals
+    nbr: np.ndarray  # (E, n_faces, n_fp) int32 flat neighbour node ids
+    bc: np.ndarray  # (E, n_faces) int8 BC codes
+    h: np.ndarray  # (E,) characteristic element size (min altitude)
+
+    @property
+    def dim(self) -> int:
+        return self.re.dim
+
+    def locate_points(self, pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Find the element containing each point; return (elem_ids, ref_coords).
+
+        Host-side setup utility (sources/receivers).  Brute-force over
+        elements with a vectorized barycentric test; picks the element with
+        the least constraint violation so points on element boundaries are
+        assigned deterministically.
+        """
+        pts = np.atleast_2d(pts)
+        v0 = self.topology.vertices[self.topology.cells[:, 0]]  # (E, dim)
+        # xi = Jinv @ (p - v0); Ginv[e] rows are d xi_r / d x
+        xi = np.einsum("erd,ped->per", self.Ginv, pts[:, None, :] - v0[None])
+        # violation: how far outside the unit simplex
+        viol = np.maximum(np.max(-xi, axis=2), np.sum(xi, axis=2) - 1.0)
+        elem_ids = np.argmin(viol, axis=1)
+        if np.any(viol[np.arange(len(pts)), elem_ids] > 1e-8):
+            bad = pts[viol[np.arange(len(pts)), elem_ids] > 1e-8]
+            raise ValueError(f"points outside mesh: {bad}")
+        return elem_ids.astype(np.int64), xi[np.arange(len(pts)), elem_ids]
+
+
+def _canonical_vertex_ids(topo: MeshTopology) -> np.ndarray:
+    """Map vertex ids to canonical ids, identifying periodic boundary pairs."""
+    coords = topo.vertices.copy()
+    for ax in topo.periodic:
+        lo, hi = topo.extents[ax]
+        span = hi - lo
+        tol = 1e-9 * max(span, 1.0)
+        wrap = np.abs(coords[:, ax] - hi) < tol
+        coords[wrap, ax] = lo
+    # quantize and hash
+    scale = np.array([max(abs(lo), abs(hi), 1.0) for lo, hi in topo.extents])
+    q = np.round(coords / (1e-10 * scale)).astype(np.int64)
+    _, canon = np.unique(q, axis=0, return_inverse=True)
+    return canon
+
+
+def build_discrete(
+    topo: MeshTopology,
+    degree: int,
+    bc_fn=None,
+) -> DiscreteMesh:
+    """Build the device-ready discrete mesh for DG degree `degree`.
+
+    ``bc_fn(centroids (F, dim), normals (F, dim)) -> int array`` assigns BC
+    codes to non-periodic boundary faces; default is all-free-surface
+    (reference parity: Seigen's eigenmode/explosive tests use free surfaces,
+    SURVEY.md §4.4).
+    """
+    dim = topo.dim
+    re = ref_elem(dim, degree)
+    cells = topo.cells
+    verts = topo.vertices
+    E = cells.shape[0]
+    n_p, n_faces, n_fp = re.n_p, re.n_faces, re.n_fp
+
+    # --- physical node coordinates via barycentric interpolation ---
+    # ref node = bary @ ref_vertices with bary = [1 - sum(xi), xi...]
+    bary_nodes = np.concatenate(
+        [1.0 - re.nodes.sum(axis=1, keepdims=True), re.nodes], axis=1
+    )  # (n_p, dim+1)
+    coords = np.einsum("pk,ekd->epd", bary_nodes, verts[cells])
+
+    # --- geometric factors (affine simplices) ---
+    J = np.transpose(verts[cells[:, 1:]] - verts[cells[:, :1]], (0, 2, 1))
+    detJ = np.linalg.det(J)
+    assert np.all(detJ > 0), "cells must be positively oriented"
+    Ginv = np.linalg.inv(J)  # (E, dim, dim): rows are d xi_r / d x
+
+    # --- face normals, surface Jacobians ---
+    normals = np.zeros((E, n_faces, dim))
+    sJ = np.zeros((E, n_faces))
+    for f in range(n_faces):
+        pv = verts[cells[:, re.face_vertices[f]]]  # (E, dim, dim)
+        opp = verts[cells[:, f]]  # opposite vertex
+        if dim == 2:
+            t = pv[:, 1] - pv[:, 0]
+            sJ[:, f] = np.linalg.norm(t, axis=1)
+            n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+        else:
+            c = np.cross(pv[:, 1] - pv[:, 0], pv[:, 2] - pv[:, 0])
+            sJ[:, f] = np.linalg.norm(c, axis=1)
+            n = c
+        n = n / np.linalg.norm(n, axis=1, keepdims=True)
+        flip = np.einsum("ed,ed->e", n, pv[:, 0] - opp) < 0
+        n[flip] *= -1.0
+        normals[:, f] = n
+    Fscale = sJ / detJ[:, None]
+
+    # characteristic size: min altitude = dim * vol / max face area
+    from math import factorial
+
+    vol = detJ / factorial(dim)
+    farea = sJ / factorial(dim - 1)
+    h = dim * vol / farea.max(axis=1)
+
+    # --- face-node pairing via geometric keys ---
+    canon = _canonical_vertex_ids(topo)
+    fdim = dim - 1
+    # barycentric coords of face nodes wrt the face's own vertex order
+    fp_param = re.face_param_nodes  # (n_faces, n_fp, fdim)
+    bary_face = np.concatenate(
+        [1.0 - fp_param.sum(axis=2, keepdims=True), fp_param], axis=2
+    )  # (n_faces, n_fp, dim)
+    qbary = np.round(bary_face * degree).astype(np.int64)  # exact multiples
+
+    # Canonicalized quantized face centroids disambiguate coarse periodic
+    # meshes (2 cells/axis), where distinct faces can share a canonical
+    # vertex-id set.  Centroids of faces lying exactly on a periodic max
+    # plane wrap to the min plane, so wrapped partners still key together.
+    scale = np.array([max(abs(lo), abs(hi), 1.0) for lo, hi in topo.extents])
+
+    def _canon_quant(pts: np.ndarray) -> np.ndarray:
+        p = pts.copy()
+        for ax in topo.periodic:
+            lo, hi = topo.extents[ax]
+            tol = 1e-9 * max(hi - lo, 1.0)
+            p[np.abs(p[:, ax] - hi) < tol, ax] = lo
+        return np.round(p / (1e-10 * scale)).astype(np.int64)
+
+    # keys: sorted canonical ids + quantized centroid + sorted bary
+    keys = np.empty((E, n_faces, n_fp, 3 * dim), dtype=np.int64)
+    for f in range(n_faces):
+        cids = canon[cells[:, re.face_vertices[f]]]  # (E, dim)
+        order = np.argsort(cids, axis=1)  # (E, dim)
+        scids = np.take_along_axis(cids, order, axis=1)
+        cent = _canon_quant(verts[cells[:, re.face_vertices[f]]].mean(axis=1))
+        # reorder bary columns identically for every node on the face
+        sb = qbary[f][None, :, :]  # (1, n_fp, dim)
+        sb = np.take_along_axis(
+            np.broadcast_to(sb, (E, n_fp, dim)), order[:, None, :], axis=2
+        )
+        keys[:, f, :, :dim] = scids[:, None, :]
+        keys[:, f, :, dim : 2 * dim] = cent[:, None, :]
+        keys[:, f, :, 2 * dim :] = sb
+
+    flat_keys = keys.reshape(-1, 3 * dim)
+    _, inv, counts = np.unique(
+        flat_keys, axis=0, return_inverse=True, return_counts=True
+    )
+    if counts.max() > 2:
+        raise ValueError("non-manifold mesh: a face node matched >2 sides")
+
+    N = flat_keys.shape[0]
+    partner = np.arange(N)
+    order = np.argsort(inv, kind="stable")
+    csort = counts[inv[order]]
+    # positions where a group of size 2 starts in the sorted order
+    starts = np.flatnonzero(
+        (csort == 2) & (np.r_[True, inv[order][1:] != inv[order][:-1]])
+    )
+    a, b = order[starts], order[starts + 1]
+    partner[a], partner[b] = b, a
+
+    # decode slots -> (e, f, k)
+    pe = partner // (n_faces * n_fp)
+    pf = (partner // n_fp) % n_faces
+    pk = partner % n_fp
+    nbr = (pe * n_p + re.fnodes[pf, pk]).astype(np.int32)
+    nbr = nbr.reshape(E, n_faces, n_fp)
+
+    # boundary faces: all their node slots are singletons
+    is_boundary = (counts[inv].reshape(E, n_faces, n_fp) == 1).all(axis=2)
+    partial = (counts[inv].reshape(E, n_faces, n_fp) == 1).any(axis=2)
+    assert np.array_equal(is_boundary, partial), "face pairing must be whole-face"
+
+    # boundary: gather own trace (ghost states handled by bc masks in ops)
+    own = (
+        np.arange(E)[:, None, None] * n_p + re.fnodes[None, :, :]
+    ).astype(np.int32)
+    nbr = np.where(is_boundary[:, :, None], own, nbr)
+
+    # BC codes
+    bc = np.zeros((E, n_faces), dtype=np.int8)
+    if np.any(is_boundary):
+        be, bf = np.nonzero(is_boundary)
+        centroids = np.array(
+            [
+                verts[cells[e, re.face_vertices[f]]].mean(axis=0)
+                for e, f in zip(be, bf)
+            ]
+        )
+        if bc_fn is None:
+            codes = np.full(len(be), BC_FREE, dtype=np.int8)
+        else:
+            codes = np.asarray(
+                bc_fn(centroids, normals[be, bf]), dtype=np.int8
+            )
+        bc[be, bf] = codes
+
+    # sanity: verify paired nodes coincide geometrically (periodic-shifted)
+    flat_coords = coords.reshape(E * n_p, dim)
+    own_pts = flat_coords[own.reshape(-1)]
+    nbr_pts = flat_coords[nbr.reshape(-1)]
+    diff = own_pts - nbr_pts
+    for ax in range(dim):
+        if ax in topo.periodic:
+            lo, hi = topo.extents[ax]
+            span = hi - lo
+            diff[:, ax] = np.minimum(
+                np.abs(diff[:, ax]), np.abs(np.abs(diff[:, ax]) - span)
+            )
+    max_mismatch = np.abs(diff).max() if diff.size else 0.0
+    assert max_mismatch < 1e-8 * max(
+        1.0, np.abs(verts).max()
+    ), f"face-node pairing mismatch: {max_mismatch}"
+
+    return DiscreteMesh(
+        re=re,
+        topology=topo,
+        num_elements=E,
+        coords=coords,
+        Ginv=Ginv,
+        detJ=detJ,
+        Fscale=Fscale,
+        normals=normals,
+        nbr=nbr,
+        bc=bc,
+        h=h,
+    )
