@@ -1,0 +1,30 @@
+from .analytic import PlaneWave
+from .damping import absorbing_bc_fn, sponge_mask
+from .errors import convergence_order, interpolate, l2_error, l2_norm
+from .receivers import ReceiverData, build_receivers, line, sample
+from .source import PointSource, SourceData, build_sources, ricker
+from .timestep import State, cfl_dt, make_step, run, run_jit, staggered_init
+
+__all__ = [
+    "PlaneWave",
+    "absorbing_bc_fn",
+    "sponge_mask",
+    "convergence_order",
+    "interpolate",
+    "l2_error",
+    "l2_norm",
+    "ReceiverData",
+    "build_receivers",
+    "line",
+    "sample",
+    "PointSource",
+    "SourceData",
+    "build_sources",
+    "ricker",
+    "State",
+    "cfl_dt",
+    "make_step",
+    "run",
+    "run_jit",
+    "staggered_init",
+]

@@ -1,0 +1,125 @@
+"""Point sources with Ricker wavelets (SURVEY.md §4.4, binding per [D]).
+
+A point source delta(x - xs) * a * r(t) is projected onto the DG space once at
+setup: within the containing element, the nodal contribution of the delta is
+Minv_ref @ phi(xi_s) / detJ (the reference's time-dependent Expression feeding
+the RHS forms becomes a precomputed injection vector + a traced wavelet).
+Injection on device is a single scatter-add into the first operator stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.discrete import DiscreteMesh
+from ..ops.elastic import n_sig_for
+
+
+def ricker(t, f0, t0):
+    """Ricker wavelet r(t) = (1 - 2 pi^2 f0^2 tau^2) exp(-pi^2 f0^2 tau^2)."""
+    tau = (np.pi * f0 * (t - t0)) ** 2
+    return (1.0 - 2.0 * tau) * jnp.exp(-tau)
+
+
+@dataclass(frozen=True)
+class PointSource:
+    """An explosive (isotropic moment) or directed force point source."""
+
+    position: tuple
+    f0: float  # Ricker peak frequency
+    t0: float | None = None  # delay; default 1.2/f0 (quasi-zero onset)
+    amplitude: float = 1.0
+    kind: str = "explosive"  # "explosive" (stress trace) | "force" (velocity)
+    direction: tuple | None = None  # for kind="force"
+
+    @property
+    def delay(self) -> float:
+        return self.t0 if self.t0 is not None else 1.2 / self.f0
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["elems", "vec_u", "vec_s", "f0", "t0", "amp"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class SourceData:
+    """Device pytree for S point sources."""
+
+    elems: jax.Array  # (S,) int32
+    vec_u: jax.Array  # (S, n_p, dim) velocity-equation injection vectors
+    vec_s: jax.Array  # (S, n_p, n_sig) stress-equation injection vectors
+    f0: jax.Array  # (S,)
+    t0: jax.Array  # (S,)
+    amp: jax.Array  # (S,)
+
+
+def build_sources(
+    dm: DiscreteMesh,
+    sources: list[PointSource],
+    dtype=jnp.float32,
+    mat=None,
+) -> SourceData | None:
+    """Project point sources onto the DG space (host-side setup).
+
+    ``mat`` (a Material) is required only when a "force" source is present,
+    to fold 1/rho into the velocity-equation injection vector.
+    """
+    if not sources:
+        return None
+    dim = dm.dim
+    n_sig = n_sig_for(dim)
+    re = dm.re
+    pts = np.array([s.position for s in sources], dtype=np.float64)
+    elems, xi = dm.locate_points(pts)
+    phi = re.eval_basis(xi)  # (S, n_p)
+    base = phi @ re.Minv.T / dm.detJ[elems][:, None]  # (S, n_p)
+
+    S = len(sources)
+    vec_u = np.zeros((S, re.n_p, dim))
+    vec_s = np.zeros((S, re.n_p, n_sig))
+    for i, s in enumerate(sources):
+        if s.kind == "explosive":
+            # isotropic moment: inject into the stress trace (s_xx, s_yy[, s_zz])
+            vec_s[i, :, :dim] = base[i][:, None]
+        elif s.kind == "force":
+            if mat is None:
+                raise ValueError("force sources require the material (rho)")
+            d = np.asarray(s.direction, dtype=np.float64)
+            d = d / np.linalg.norm(d)
+            # rho du/dt = ... + f  =>  du/dt += f / rho
+            rho_e = np.broadcast_to(
+                np.asarray(mat.rho, dtype=np.float64), (dm.num_elements,)
+            )[elems[i]]
+            vec_u[i] = base[i][:, None] * d[None, :] / rho_e
+        else:
+            raise ValueError(s.kind)
+
+    return SourceData(
+        elems=jnp.asarray(elems, dtype=jnp.int32),
+        vec_u=jnp.asarray(vec_u, dtype=dtype),
+        vec_s=jnp.asarray(vec_s, dtype=dtype),
+        f0=jnp.asarray([s.f0 for s in sources], dtype=dtype),
+        t0=jnp.asarray([s.delay for s in sources], dtype=dtype),
+        amp=jnp.asarray([s.amplitude for s in sources], dtype=dtype),
+    )
+
+
+def inject_stress(src: SourceData | None, ds: jax.Array, t) -> jax.Array:
+    """Add stress-equation source contributions at time t."""
+    if src is None:
+        return ds
+    r = src.amp * ricker(t, src.f0, src.t0)  # (S,)
+    return ds.at[src.elems].add(src.vec_s * r[:, None, None])
+
+
+def inject_velocity(src: SourceData | None, du: jax.Array, t) -> jax.Array:
+    if src is None:
+        return du
+    r = src.amp * ricker(t, src.f0, src.t0)
+    return du.at[src.elems].add(src.vec_u * r[:, None, None])

@@ -5,12 +5,16 @@ Mirrors the reference's distributed-testing strategy (SURVEY.md §6:
 multi-chip code path (shard_map / ppermute halo exchange) is exercised without
 TPU hardware.  f64 is enabled because convergence-order assertions need it
 (SURVEY.md §9.3); the library itself stays dtype-parametric.
+
+NOTE: this environment's sitecustomize registers the 'axon' TPU platform at
+interpreter startup and forces jax_platforms='axon,cpu', ignoring the
+JAX_PLATFORMS env var.  The reliable way to pin tests to CPU is
+``jax.config.update('jax_platforms', 'cpu')`` after import, before any
+backend initialization.  XLA_FLAGS must still be set before first device use.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +23,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
