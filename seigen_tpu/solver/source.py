@@ -28,7 +28,15 @@ def ricker(t, f0, t0):
 
 @dataclass(frozen=True)
 class PointSource:
-    """An explosive (isotropic moment) or directed force point source."""
+    """An explosive (isotropic moment) or directed force point source.
+
+    ``radius`` mollifies the delta into a normalized Gaussian of that
+    standard deviation (recommended: ~1-2 element sizes).  A raw delta
+    (radius=None) excites unresolved wavenumbers whose spurious central-flux
+    DG branches propagate super-physically (strong precursors); the
+    reference mitigates the same way (SURVEY.md §4.4 "narrow Gaussian /
+    single-element footprint").
+    """
 
     position: tuple
     f0: float  # Ricker peak frequency
@@ -36,6 +44,7 @@ class PointSource:
     amplitude: float = 1.0
     kind: str = "explosive"  # "explosive" (stress trace) | "force" (velocity)
     direction: tuple | None = None  # for kind="force"
+    radius: float | None = None  # Gaussian mollification stddev
 
     @property
     def delay(self) -> float:
@@ -75,18 +84,58 @@ def build_sources(
     dim = dm.dim
     n_sig = n_sig_for(dim)
     re = dm.re
-    pts = np.array([s.position for s in sources], dtype=np.float64)
-    elems, xi = dm.locate_points(pts)
-    phi = re.eval_basis(xi)  # (S, n_p)
-    base = phi @ re.Minv.T / dm.detJ[elems][:, None]  # (S, n_p)
 
-    S = len(sources)
-    vec_u = np.zeros((S, re.n_p, dim))
-    vec_s = np.zeros((S, re.n_p, n_sig))
+    # One (element, n_p) injection block per touched element per source.
+    ent_elems, ent_base, ent_src = [], [], []
     for i, s in enumerate(sources):
+        pos = np.asarray(s.position, dtype=np.float64)
+        if s.radius is None:
+            # delta: L(phi_i) = phi_i(xs); coeffs = Minv phi / detJ
+            elems, xi = dm.locate_points(pos[None])
+            phi = re.eval_basis(xi)[0]
+            base = re.Minv @ phi / dm.detJ[elems[0]]
+            ent_elems.append([int(elems[0])])
+            ent_base.append(base[None])
+            ent_src.append([i])
+        else:
+            # mollified: project normalized Gaussian g onto the DG space:
+            # coeffs_e = Minv_ref @ (sum_q w_q phi(x_q) g(x_q)); discrete
+            # renormalization preserves the total injected moment exactly.
+            r = float(s.radius)
+            cent = dm.coords.mean(axis=1)  # (E, dim)
+            near = np.where(
+                np.linalg.norm(cent - pos, axis=1) < 5.0 * r + dm.h.max()
+            )[0]
+            if len(near) == 0:
+                raise ValueError(f"source {i} outside mesh")
+            xq = np.einsum("qi,eid->eqd", re.Vq, dm.coords[near])
+            g = np.exp(
+                -np.sum((xq - pos) ** 2, axis=-1) / (2.0 * r * r)
+            )  # (K, nq)
+            integral = np.einsum("e,q,eq->", dm.detJ[near], re.qw, g)
+            if integral <= 0:
+                raise ValueError(f"source {i} mollifier vanished")
+            g /= integral
+            # nodal projection coeffs: Minv_ref @ (V_q^T diag(w) g_e)
+            b = np.einsum("q,qi,eq->ei", re.qw, re.Vq, g)  # (K, n_p)
+            coeffs = b @ re.Minv.T  # detJ cancels: Minv_phys = Minv_ref/detJ
+            for k, e in enumerate(near):
+                ent_elems.append([int(e)])
+                ent_base.append(coeffs[k][None])
+                ent_src.append([i])
+
+    elems = np.concatenate([np.asarray(e) for e in ent_elems])
+    base = np.concatenate(ent_base, axis=0)  # (K, n_p)
+    src_id = np.concatenate([np.asarray(sid) for sid in ent_src])
+
+    K = len(elems)
+    vec_u = np.zeros((K, re.n_p, dim))
+    vec_s = np.zeros((K, re.n_p, n_sig))
+    for k in range(K):
+        s = sources[src_id[k]]
         if s.kind == "explosive":
             # isotropic moment: inject into the stress trace (s_xx, s_yy[, s_zz])
-            vec_s[i, :, :dim] = base[i][:, None]
+            vec_s[k, :, :dim] = base[k][:, None]
         elif s.kind == "force":
             if mat is None:
                 raise ValueError("force sources require the material (rho)")
@@ -95,8 +144,8 @@ def build_sources(
             # rho du/dt = ... + f  =>  du/dt += f / rho
             rho_e = np.broadcast_to(
                 np.asarray(mat.rho, dtype=np.float64), (dm.num_elements,)
-            )[elems[i]]
-            vec_u[i] = base[i][:, None] * d[None, :] / rho_e
+            )[elems[k]]
+            vec_u[k] = base[k][:, None] * d[None, :] / rho_e
         else:
             raise ValueError(s.kind)
 
@@ -104,9 +153,9 @@ def build_sources(
         elems=jnp.asarray(elems, dtype=jnp.int32),
         vec_u=jnp.asarray(vec_u, dtype=dtype),
         vec_s=jnp.asarray(vec_s, dtype=dtype),
-        f0=jnp.asarray([s.f0 for s in sources], dtype=dtype),
-        t0=jnp.asarray([s.delay for s in sources], dtype=dtype),
-        amp=jnp.asarray([s.amplitude for s in sources], dtype=dtype),
+        f0=jnp.asarray([sources[j].f0 for j in src_id], dtype=dtype),
+        t0=jnp.asarray([sources[j].delay for j in src_id], dtype=dtype),
+        amp=jnp.asarray([sources[j].amplitude for j in src_id], dtype=dtype),
     )
 
 
