@@ -186,11 +186,17 @@ def _phys_grad(p: ElasticParams, field: jax.Array) -> jax.Array:
     return jnp.einsum("erd,eric->edic", p.Ginv, der)
 
 
-def _traces(p: ElasticParams, field: jax.Array):
-    """Own and neighbour face traces: each (E, n_faces, n_fp, C)."""
+def _traces(p: ElasticParams, field: jax.Array, pool: jax.Array | None):
+    """Own and neighbour face traces: each (E, n_faces, n_fp, C).
+
+    ``pool`` overrides the gather source for neighbour traces: in sharded
+    runs it is [local flat nodes | halo ghost pool] and ``p.nbr`` has been
+    remapped into it by parallel.partition (single-chip: None -> gather from
+    the field itself).
+    """
     fn = jnp.asarray(np.array(p.fnodes), dtype=jnp.int32)
     own = field[:, fn]  # (E, n_faces, n_fp, C)
-    flat = field.reshape((-1,) + field.shape[2:])
+    flat = pool if pool is not None else field.reshape((-1,) + field.shape[2:])
     nbr = flat[p.nbr]  # (E, n_faces, n_fp, C)
     return own, nbr
 
@@ -202,7 +208,9 @@ def _lift(p: ElasticParams, face_flux: jax.Array) -> jax.Array:
     return jnp.einsum("im,emc->eic", p.LIFT, flat)
 
 
-def apply_vel_op(p: ElasticParams, sigma: jax.Array) -> jax.Array:
+def apply_vel_op(
+    p: ElasticParams, sigma: jax.Array, pool: jax.Array | None = None
+) -> jax.Array:
     """A_u(sigma) = Minv * Lu(sigma): discrete (1/rho) div(sigma).
 
     Reference parity: the `uh1/uh2/utemp` solves of ElasticLF4
@@ -220,7 +228,7 @@ def apply_vel_op(p: ElasticParams, sigma: jax.Array) -> jax.Array:
         axis=-1,
     )  # (E, n_p, dim)
 
-    own, nbr = _traces(p, sigma)
+    own, nbr = _traces(p, sigma, pool)
     nrm = p.normals[:, :, None, :]  # (E, n_faces, 1, dim)
     # tractions t_c = n_d sigma_{cd}
     t_own = jnp.stack(
@@ -243,7 +251,9 @@ def apply_vel_op(p: ElasticParams, sigma: jax.Array) -> jax.Array:
     return p.inv_rho[:, None, None] * (div + surf)
 
 
-def apply_stress_op(p: ElasticParams, u: jax.Array) -> jax.Array:
+def apply_stress_op(
+    p: ElasticParams, u: jax.Array, pool: jax.Array | None = None
+) -> jax.Array:
     """A_s(u) = Minv * Ls(u): discrete Hooke's law applied to sym grad(u).
 
     Reference parity: the `stemp/sh1/sh2` solves of ElasticLF4
@@ -269,7 +279,7 @@ def apply_stress_op(p: ElasticParams, u: jax.Array) -> jax.Array:
 
     vol = hooke(lambda c, d: grad[:, d, :, c])
 
-    own, nbr = _traces(p, u)
+    own, nbr = _traces(p, u, pool)
     du = 0.5 * nbr + p.delta_u[:, :, None, None] * own  # (E, nf, nfp, dim)
     nrm = p.normals[:, :, None, :]
     lamf = p.lam[:, None, None]
