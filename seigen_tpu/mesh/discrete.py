@@ -75,6 +75,37 @@ class DiscreteMesh:
         return elem_ids.astype(np.int64), xi[np.arange(len(pts)), elem_ids]
 
 
+def _pair_rows(flat_keys: np.ndarray) -> np.ndarray:
+    """partner[i] = j with identical key row (self if unmatched).
+
+    Uses the native C++ sort-and-match when available (large meshes); the
+    NumPy np.unique path is the correctness oracle (tests/test_native.py).
+    """
+    from . import native
+
+    if native.available():
+        partner, mult = native.pair_face_nodes(flat_keys)
+        if mult > 2:
+            raise ValueError("non-manifold mesh: a face node matched >2 sides")
+        return partner
+
+    _, inv, counts = np.unique(
+        flat_keys, axis=0, return_inverse=True, return_counts=True
+    )
+    if counts.max() > 2:
+        raise ValueError("non-manifold mesh: a face node matched >2 sides")
+    N = flat_keys.shape[0]
+    partner = np.arange(N)
+    order = np.argsort(inv, kind="stable")
+    csort = counts[inv[order]]
+    starts = np.flatnonzero(
+        (csort == 2) & (np.r_[True, inv[order][1:] != inv[order][:-1]])
+    )
+    a, b = order[starts], order[starts + 1]
+    partner[a], partner[b] = b, a
+    return partner
+
+
 def _canonical_vertex_ids(topo: MeshTopology) -> np.ndarray:
     """Map vertex ids to canonical ids, identifying periodic boundary pairs."""
     coords = topo.vertices.copy()
@@ -191,22 +222,8 @@ def build_discrete(
         keys[:, f, :, 2 * dim :] = sb
 
     flat_keys = keys.reshape(-1, 3 * dim)
-    _, inv, counts = np.unique(
-        flat_keys, axis=0, return_inverse=True, return_counts=True
-    )
-    if counts.max() > 2:
-        raise ValueError("non-manifold mesh: a face node matched >2 sides")
-
+    partner = _pair_rows(flat_keys)
     N = flat_keys.shape[0]
-    partner = np.arange(N)
-    order = np.argsort(inv, kind="stable")
-    csort = counts[inv[order]]
-    # positions where a group of size 2 starts in the sorted order
-    starts = np.flatnonzero(
-        (csort == 2) & (np.r_[True, inv[order][1:] != inv[order][:-1]])
-    )
-    a, b = order[starts], order[starts + 1]
-    partner[a], partner[b] = b, a
 
     # decode slots -> (e, f, k)
     pe = partner // (n_faces * n_fp)
@@ -216,8 +233,9 @@ def build_discrete(
     nbr = nbr.reshape(E, n_faces, n_fp)
 
     # boundary faces: all their node slots are singletons
-    is_boundary = (counts[inv].reshape(E, n_faces, n_fp) == 1).all(axis=2)
-    partial = (counts[inv].reshape(E, n_faces, n_fp) == 1).any(axis=2)
+    selfpair = (partner == np.arange(N)).reshape(E, n_faces, n_fp)
+    is_boundary = selfpair.all(axis=2)
+    partial = selfpair.any(axis=2)
     assert np.array_equal(is_boundary, partial), "face pairing must be whole-face"
 
     # boundary: gather own trace (ghost states handled by bc masks in ops)

@@ -1,0 +1,119 @@
+"""ctypes loader for the native mesh-preprocessing library.
+
+Builds ``libseigen_mesh.so`` from mesh_native.cpp on first use (g++ -O3) and
+caches it next to the source.  All entry points have NumPy fallbacks in
+mesh/discrete.py / parallel/partition.py; ``available()`` reports whether the
+native path is usable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "mesh_native.cpp")
+_LIB = os.path.join(_HERE, "libseigen_mesh.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.pair_face_nodes.restype = ctypes.c_int64
+        lib.pair_face_nodes.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.morton_codes.restype = None
+        lib.morton_codes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.argsort_u64.restype = None
+        lib.argsort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pair_face_nodes(keys: np.ndarray) -> tuple[np.ndarray, int]:
+    """(N, keylen) int64 keys -> (partner (N,) int64, max multiplicity)."""
+    lib = _load()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n, keylen = keys.shape
+    partner = np.empty(n, dtype=np.int64)
+    mult = lib.pair_face_nodes(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(keylen),
+        partner.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return partner, int(mult)
+
+
+def morton_argsort(q: np.ndarray, bits: int = 16) -> np.ndarray:
+    """(n, dim) uint32 quantized coords -> Morton-order permutation."""
+    lib = _load()
+    assert lib is not None
+    q = np.ascontiguousarray(q, dtype=np.uint32)
+    n, dim = q.shape
+    codes = np.empty(n, dtype=np.uint64)
+    lib.morton_codes(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(dim),
+        ctypes.c_int32(bits),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    perm = np.empty(n, dtype=np.int64)
+    lib.argsort_u64(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(n),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return perm

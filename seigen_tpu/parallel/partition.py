@@ -30,11 +30,21 @@ from ..mesh.discrete import DiscreteMesh
 
 
 def morton_order(points: np.ndarray, bits: int = 16) -> np.ndarray:
-    """Permutation sorting points along a Morton (Z-order) curve."""
+    """Permutation sorting points along a Morton (Z-order) curve.
+
+    Uses the native C++ path when available; the NumPy bit-interleave below
+    is the oracle (tests/test_native.py checks they agree exactly).
+    """
     p = points - points.min(axis=0)
     scale = p.max(axis=0)
     scale[scale == 0] = 1.0
     q = np.minimum((p / scale * (2**bits - 1)).astype(np.uint64), 2**bits - 1)
+
+    from ..mesh import native
+
+    if native.available():
+        return native.morton_argsort(q.astype(np.uint32), bits=bits)
+
     dim = points.shape[1]
     code = np.zeros(len(points), dtype=np.uint64)
     for b in range(bits):
