@@ -1,0 +1,144 @@
+"""High-level simulation facade — API parity with the reference's ElasticLF4.
+
+The reference exposes ``ElasticLF4(mesh, family, degree, dim, explicit=...)``
+with material attributes and a ``run(T)`` loop (SURVEY.md §2 layer 2).  The
+TPU-native equivalent is a frozen config + a facade object wiring mesh,
+material, sources, receivers, boundaries, damping, and the jitted scan
+together, with checkpoint/VTK hooks.  All state is explicit; nothing global.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import MeshTopology, build_discrete
+from ..ops import Material, build_params, n_sig_for
+from .damping import absorbing_bc_fn, sponge_mask
+from .receivers import build_receivers, sample
+from .source import PointSource, build_sources
+from .timestep import State, cfl_dt, make_step, run, staggered_init
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Frozen run configuration (SURVEY.md §7.6: one dataclass per run)."""
+
+    degree: int = 2
+    order: int = 4  # LF2 | LF4
+    cfl: float = 0.4
+    dtype: str = "float32"
+    free_sides: tuple = ()  # ((axis, "lo"|"hi"), ...)
+    absorbing_sides: tuple = ()  # rest default to free surface
+    sponge_width: float = 0.0
+    sponge_alpha: float = 2.0
+
+
+class ElasticSimulation:
+    """Facade: build once, then step/run/sample.
+
+    Reference-parity surface:
+      sim = ElasticSimulation(topo, material, config, sources=[...],
+                              receiver_points=...)
+      final_state, seismograms = sim.run(T)
+    """
+
+    def __init__(
+        self,
+        topology: MeshTopology,
+        material: Material,
+        config: SimConfig = SimConfig(),
+        sources: list[PointSource] | None = None,
+        receiver_points: np.ndarray | None = None,
+    ):
+        self.config = config
+        self.topology = topology
+        self.material = material
+        dtype = jnp.dtype(config.dtype)
+
+        bc_fn = None
+        if config.absorbing_sides:
+            bc_fn = absorbing_bc_fn(
+                topology.extents, free_sides=list(config.free_sides)
+            )
+        self.dm = build_discrete(topology, config.degree, bc_fn=bc_fn)
+        self.params = build_params(self.dm, material, dtype=dtype)
+        self.sources = build_sources(
+            self.dm, sources or [], dtype=dtype, mat=material
+        )
+        self.receivers = (
+            build_receivers(self.dm, receiver_points, dtype=dtype)
+            if receiver_points is not None
+            else None
+        )
+        self.damp = None
+        if config.sponge_width > 0 and config.absorbing_sides:
+            self.damp = jnp.asarray(
+                sponge_mask(
+                    self.dm,
+                    list(config.absorbing_sides),
+                    config.sponge_width,
+                    config.sponge_alpha,
+                ),
+                dtype=dtype,
+            )
+        vp_max = float(np.asarray(material.vp).max())
+        self.dt = cfl_dt(
+            float(self.dm.h.min()), vp_max, config.degree, config.cfl
+        )
+        self._dtype = dtype
+
+    def zero_state(self) -> State:
+        E, n_p = self.dm.num_elements, self.dm.re.n_p
+        dim = self.dm.dim
+        return State(
+            u=jnp.zeros((E, n_p, dim), dtype=self._dtype),
+            s=jnp.zeros((E, n_p, n_sig_for(dim)), dtype=self._dtype),
+        )
+
+    def state_from(self, u_fn, s_fn, t: float = 0.0) -> State:
+        """Staggered-consistent state from co-located analytic/callable ICs."""
+        from .errors import interpolate
+
+        u0 = jnp.asarray(interpolate(self.dm, u_fn, t), dtype=self._dtype)
+        s0 = jnp.asarray(interpolate(self.dm, s_fn, t), dtype=self._dtype)
+        return staggered_init(
+            self.params, u0, s0, self.dt, order=self.config.order
+        )
+
+    def run(self, T: float, state: State | None = None):
+        """Run to time T; returns (final State, seismograms or None)."""
+        n_steps = max(int(np.ceil(T / self.dt)), 1)
+        state = state if state is not None else self.zero_state()
+        runner = jax.jit(
+            lambda p, st: run(
+                p,
+                st,
+                self.dt,
+                n_steps,
+                order=self.config.order,
+                src=self.sources,
+                damp=self.damp,
+                receivers=self.receivers,
+            )
+        )
+        fin, seis = runner(self.params, state)
+        return fin, (None if seis is None else np.asarray(seis))
+
+    def step_fn(self):
+        """The raw jittable (State, t) -> State single-step function."""
+        return make_step(
+            self.params,
+            self.dt,
+            order=self.config.order,
+            src=self.sources,
+            damp=self.damp,
+        )
+
+    def sample(self, state: State) -> np.ndarray | None:
+        if self.receivers is None:
+            return None
+        return np.asarray(sample(self.receivers, state.u))
