@@ -1,0 +1,90 @@
+"""Parameter-sweep benchmark harness — pybench parity (SURVEY.md §3
+"Benchmark harness": sweeps over degree q in 1..4 and mesh size, per-region
+timings, JSON result dumps).
+
+Usage:
+  python -m seigen_tpu.bench.sweep --degrees 1,2,3 --sizes 8,16 --dim 3 \
+      --steps 20 --out results/sweep.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.profiling import RegionTimer
+    from .throughput import measure, setup_case
+
+    dtype = jnp.dtype(dtype_name)
+    rows = []
+    for degree in degrees:
+        for n in sizes:
+            timer = RegionTimer()
+            with timer.region("setup"):
+                dm, p, src, damp, dt, state0 = setup_case(
+                    n=n, degree=degree, dtype=dtype, dim=dim
+                )
+            with timer.region("run"):
+                res = measure(p, src, damp, dt, state0, n_steps=n_steps,
+                              order=order)
+            row = {
+                "dim": dim,
+                "degree": degree,
+                "n": n,
+                "elements": res.n_elements,
+                "dof": res.n_dof,
+                "steps": res.n_steps,
+                "seconds": res.seconds,
+                "steps_per_sec": res.steps_per_sec,
+                "dof_updates_per_sec": res.dof_updates_per_sec,
+                "timings": timer.report(),
+                "backend": jax.devices()[0].platform,
+                "dtype": dtype_name,
+            }
+            rows.append(row)
+            print(json.dumps(row))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=2)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=3, choices=[2, 3])
+    ap.add_argument("--degrees", type=str, default="1,2,3")
+    ap.add_argument("--sizes", type=str, default="8,16")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    run_sweep(
+        args.dim,
+        [int(d) for d in args.degrees.split(",")],
+        [int(s) for s in args.sizes.split(",")],
+        args.steps,
+        args.order,
+        args.dtype,
+        args.out,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
