@@ -83,13 +83,22 @@ def setup_case(
 
 def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
-    warmup: bool = True,
+    warmup: bool = True, impl: str = "einsum",
 ) -> BenchResult:
     dim = p.dim
+    if impl == "pallas":
+        from ..ops.pallas_kernels import stress_op_pallas, vel_op_pallas
+
+        vel_op, stress_op = vel_op_pallas, stress_op_pallas
+    else:
+        from ..ops import apply_stress_op, apply_vel_op
+
+        vel_op, stress_op = apply_vel_op, apply_stress_op
 
     @jax.jit
     def go(p, st):
-        fin, _ = run(p, st, dt, n_steps, order=order, src=src, damp=damp)
+        fin, _ = run(p, st, dt, n_steps, order=order, src=src, damp=damp,
+                     vel_op=vel_op, stress_op=stress_op)
         return fin
 
     if warmup:
