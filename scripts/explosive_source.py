@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--impl", choices=["einsum", "pallas"], default="einsum",
+                    help="operator backend; 'pallas' = fused TPU kernels "
+                         "(the rebuild's analog of the reference's tiling "
+                         "variant, tests/tiling)")
     args = ap.parse_args()
 
     import jax
@@ -170,7 +174,15 @@ def main():
         from seigen_tpu.solver.timestep import make_step
         from seigen_tpu.solver.receivers import sample
 
-        step_fn = make_step(p, dt, order=args.order, src=src, damp=damp)
+        if args.impl == "pallas":
+            from seigen_tpu.ops.pallas_kernels import (
+                stress_op_pallas, vel_op_pallas)
+
+            step_fn = make_step(p, dt, order=args.order, src=src, damp=damp,
+                                vel_op=vel_op_pallas,
+                                stress_op=stress_op_pallas)
+        else:
+            step_fn = make_step(p, dt, order=args.order, src=src, damp=damp)
 
         import functools
 

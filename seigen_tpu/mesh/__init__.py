@@ -5,6 +5,7 @@ from .discrete import (
     BC_INTERIOR,
     BC_FREE,
     BC_ABSORB,
+    BC_RIGID,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "BC_INTERIOR",
     "BC_FREE",
     "BC_ABSORB",
+    "BC_RIGID",
 ]

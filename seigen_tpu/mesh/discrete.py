@@ -32,6 +32,7 @@ from .structured import MeshTopology
 BC_INTERIOR = 0
 BC_FREE = 1  # traction-free (free surface), imposed weakly via mirror flux
 BC_ABSORB = 2  # characteristic absorbing face (pairs with sponge damping)
+BC_RIGID = 3  # rigid wall: zero velocity, unconstrained traction
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh.discrete import BC_ABSORB, BC_FREE, DiscreteMesh
+from ..mesh.discrete import BC_ABSORB, BC_FREE, BC_RIGID, DiscreteMesh
 
 # Voigt index of tensor entry (c, d)
 VOIGT_2D = np.array([[0, 2], [2, 1]])
@@ -148,11 +148,14 @@ def build_params(
     beta_t = np.full((E, re.n_faces), -0.5)
     beta_t[dm.bc == BC_FREE] = -1.5
     beta_t[dm.bc == BC_ABSORB] = -1.0
+    #   rigid:    t unconstrained (t_hat = t-) -> jump 0 -> beta_t = -0.5
     #   interior: 0.5 (u+ - u-)         -> delta_u = -0.5
     #   free:     0            (u+ = u-) -> delta_u = -0.5
     #   absorb:   -0.5 u-                -> delta_u = -1.0
     delta_u = np.full((E, re.n_faces), -0.5)
     delta_u[dm.bc == BC_ABSORB] = -1.0
+    #   rigid:    u_hat = 0 -> jump = -u-   -> delta_u = -1.5
+    delta_u[dm.bc == BC_RIGID] = -1.5
 
     if flux != "central":
         raise ValueError(f"unknown flux {flux!r}")
