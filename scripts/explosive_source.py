@@ -175,12 +175,11 @@ def main():
         from seigen_tpu.solver.receivers import sample
 
         if args.impl == "pallas":
-            from seigen_tpu.ops.pallas_kernels import (
-                stress_op_pallas, vel_op_pallas)
+            from seigen_tpu.ops.pallas_kernels import make_pallas_ops
 
+            v_op, s_op = make_pallas_ops(p)
             step_fn = make_step(p, dt, order=args.order, src=src, damp=damp,
-                                vel_op=vel_op_pallas,
-                                stress_op=stress_op_pallas)
+                                vel_op=v_op, stress_op=s_op)
         else:
             step_fn = make_step(p, dt, order=args.order, src=src, damp=damp)
 

@@ -87,9 +87,9 @@ def measure(
 ) -> BenchResult:
     dim = p.dim
     if impl == "pallas":
-        from ..ops.pallas_kernels import stress_op_pallas, vel_op_pallas
+        from ..ops.pallas_kernels import make_pallas_ops
 
-        vel_op, stress_op = vel_op_pallas, stress_op_pallas
+        vel_op, stress_op = make_pallas_ops(p)
     else:
         from ..ops import apply_stress_op, apply_vel_op
 

@@ -1,25 +1,39 @@
 """Pallas TPU kernels for the hot elastic operators (SURVEY.md §9.2 step 7).
 
-Rebuild of the reference's generated-C element kernels (TSFC/COFFEE output,
-~95% of runtime there).  Each operator application fuses, inside one VMEM
-pass per element block:
+Rebuild of the reference's generated-C element kernels (TSFC/COFFEE output —
+the hot ~95% of the reference's runtime).  Each operator application fuses,
+inside one VMEM pass per element block:
 
     reference-derivative matmuls -> inverse-Jacobian contraction ->
     div/Hooke recombination -> numerical flux at face nodes -> LIFT matmul
     -> material scaling
 
 eliminating the HBM round-trips of the (E, dim, n_p, C) intermediates that
-the XLA einsum path materializes.  The neighbour-trace gather stays in XLA
-(it is pure data movement); the kernel consumes pre-gathered traces.
+the XLA einsum path materializes.
 
-Every kernel has its einsum twin (ops/elastic.py) as correctness oracle:
-tests/test_pallas.py checks elementwise agreement in interpret mode on CPU
-and the TPU benchmark harness re-checks on hardware.
+Layout: everything inside the kernel is strictly 2-D with the ELEMENT axis on
+the 128-wide lane dimension — ``(rows, B)`` tiles where rows are
+sublane-aligned blocks of nodal/face values per field component.  This is the
+classic spectral-element "fields-first, elements-last" TPU layout: every
+contraction is a plain (rows_out, rows_in) @ (rows_in, B) matmul and every
+pointwise op is lane-parallel, so Mosaic never sees a >2-D reshape (which it
+cannot lower).  Static per-component row offsets are padded to multiples of 8
+sublanes.
+
+The neighbour-trace gather stays in XLA (pure data movement); transposes
+between the solver's (E, n_p, C) layout and the kernel layout are handled in
+the wrappers.  Geometry rows are pre-expanded to face-node resolution once in
+``PallasOpData`` so the kernel does no broadcasting across faces.
+
+Correctness oracle: the einsum twins in ops/elastic.py
+(tests/test_pallas.py, interpret mode; the TPU perf probe re-checks on
+hardware).
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -29,209 +43,345 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .elastic import ElasticParams, voigt_map
 
-DEFAULT_BLOCK = 128
+DEFAULT_BLOCK = 256
 
 
-def _pad_to(x, multiple, axis=0):
-    n = x.shape[axis]
-    pad = (-n) % multiple
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+def _rup(x, m=8):
+    return ((x + m - 1) // m) * m
 
 
-def _restriction_matrix(p: ElasticParams, dtype) -> jax.Array:
-    """(nf*nfp, n_p) 0/1 matrix selecting face-node traces (own side)."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dr", "lift", "rmat", "ginv", "nrm", "fsc", "beta", "delta",
+                 "irho", "lam", "mu"],
+    meta_fields=["dim", "n_p", "npp", "ftp", "ftpp", "n_sig", "E"],
+)
+@dataclass(frozen=True)
+class PallasOpData:
+    """Transposed + padded operator data for the lane-major kernels."""
+
+    dr: jax.Array  # (dim*npp, npp) stacked derivative matrices
+    lift: jax.Array  # (npp, ftpp)
+    rmat: jax.Array  # (ftpp, npp) own-trace restriction
+    ginv: jax.Array  # (dim*dim, E) rows r*dim+d
+    nrm: jax.Array  # (dim*ftpp, E) face-node-expanded normals
+    fsc: jax.Array  # (ftpp, E) face-node-expanded Fscale
+    beta: jax.Array  # (ftpp, E) expanded traction-jump coefficient
+    delta: jax.Array  # (ftpp, E) expanded velocity-jump coefficient
+    irho: jax.Array  # (8, E) row 0 = 1/rho
+    lam: jax.Array  # (8, E) row 0 = lambda
+    mu: jax.Array  # (8, E) row 0 = mu
+    dim: int
+    n_p: int
+    npp: int  # n_p padded to 8
+    ftp: int  # n_faces * n_fp
+    ftpp: int  # padded
+    n_sig: int
+    E: int
+
+
+_OPDATA_CACHE: dict[int, PallasOpData] = {}
+
+
+def build_pallas_data(p: ElasticParams) -> PallasOpData:
+    key = id(p)
+    if key in _OPDATA_CACHE:
+        return _OPDATA_CACHE[key]
+    dim, n_p = p.dim, p.n_p
+    npp = _rup(n_p)
+    ftp = p.n_faces * p.n_fp
+    ftpp = _rup(ftp)
+    E = p.Ginv.shape[0]
+    dt = p.Ginv.dtype
+
+    Dr = np.zeros((dim * npp, npp), dtype=np.float32)
+    for r in range(dim):
+        Dr[r * npp : r * npp + n_p, :n_p] = np.asarray(p.Dr[r])
+    LIFT = np.zeros((npp, ftpp), dtype=np.float32)
+    LIFT[:n_p, :ftp] = np.asarray(p.LIFT)
     fn = np.array(p.fnodes).reshape(-1)
-    R = np.zeros((len(fn), p.n_p), dtype=np.float32)
-    R[np.arange(len(fn)), fn] = 1.0
-    return jnp.asarray(R, dtype=dtype)
+    R = np.zeros((ftpp, npp), dtype=np.float32)
+    R[np.arange(ftp), fn] = 1.0
+
+    # expand per-face geometry to face-node rows (f*n_fp + k ordering)
+    rep = np.repeat(np.arange(p.n_faces), p.n_fp)
+
+    def expand(a):  # (E, n_faces) -> (ftpp, E)
+        out = np.zeros((ftpp, E), dtype=np.float32)
+        out[:ftp] = np.asarray(a)[:, rep].T
+        return out
+
+    nrm = np.zeros((dim * ftpp, E), dtype=np.float32)
+    for d in range(dim):
+        nrm[d * ftpp : d * ftpp + ftp] = np.asarray(
+            p.normals[:, :, d])[:, rep].T
+
+    def scalar_rows(a):  # (E,) -> (8, E)
+        out = np.zeros((8, E), dtype=np.float32)
+        out[0] = np.asarray(a)
+        return out
+
+    data = PallasOpData(
+        dr=jnp.asarray(Dr, dt),
+        lift=jnp.asarray(LIFT, dt),
+        rmat=jnp.asarray(R, dt),
+        ginv=jnp.asarray(
+            np.asarray(p.Ginv).transpose(1, 2, 0).reshape(dim * dim, E), dt),
+        nrm=jnp.asarray(nrm, dt),
+        fsc=jnp.asarray(expand(p.Fscale), dt),
+        beta=jnp.asarray(expand(p.beta_t), dt),
+        delta=jnp.asarray(expand(p.delta_u), dt),
+        irho=jnp.asarray(scalar_rows(p.inv_rho), dt),
+        lam=jnp.asarray(scalar_rows(p.lam), dt),
+        mu=jnp.asarray(scalar_rows(p.mu), dt),
+        dim=dim,
+        n_p=n_p,
+        npp=npp,
+        ftp=ftp,
+        ftpp=ftpp,
+        n_sig=p.n_sig,
+        E=E,
+    )
+    _OPDATA_CACHE[key] = data
+    return data
+
+
+def _to_lane_major(x: jax.Array, rows_pad: int, block: int) -> jax.Array:
+    """(E, m, C) -> (C*rows_pad, E_pad): component-major padded rows."""
+    E, m, C = x.shape
+    E_pad = _rup(E, block)
+    out = jnp.zeros((C * rows_pad, E_pad), dtype=x.dtype)
+    xt = x.transpose(2, 1, 0)  # (C, m, E)
+    for c in range(C):
+        out = out.at[c * rows_pad : c * rows_pad + m, :E].set(xt[c])
+    return out
+
+
+def _from_lane_major(y: jax.Array, m: int, rows_pad: int, C: int,
+                     E: int) -> jax.Array:
+    """(C*rows_pad, E_pad) -> (E, m, C)."""
+    parts = [y[c * rows_pad : c * rows_pad + m, :E] for c in range(C)]
+    return jnp.stack(parts, axis=0).transpose(2, 1, 0)
+
+
+def _pad_lanes(x, block):
+    E = x.shape[1]
+    E_pad = _rup(E, block)
+    if E_pad == E:
+        return x
+    return jnp.pad(x, ((0, 0), (0, E_pad - E)))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _vel_kernel(dim, n_sig, npp, ftpp,
+                sig_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, beta_ref,
+                irho_ref, dr_ref, lift_ref, rmat_ref, out_ref):
+    V = voigt_map(dim)
+    # derivatives + own traces per Voigt component
+    der = [[None] * n_sig for _ in range(dim)]
+    own = [None] * n_sig
+    for c in range(n_sig):
+        Xc = sig_ref[c * npp : (c + 1) * npp, :]  # (npp, B)
+        for r in range(dim):
+            der[r][c] = _dot(dr_ref[r * npp : (r + 1) * npp, :], Xc)
+        own[c] = _dot(rmat_ref[:], Xc)  # (ftpp, B)
+
+    # physical divergence rows per velocity component
+    irho = irho_ref[0:1, :]  # (1, B)
+    for cout in range(dim):
+        div = None
+        for d in range(dim):
+            for r in range(dim):
+                g = ginv_ref[r * dim + d : r * dim + d + 1, :]  # (1, B)
+                term = g * der[r][V[cout, d]]
+                div = term if div is None else div + term
+        # traction jump flux
+        t_own = None
+        t_nbr = None
+        for d in range(dim):
+            nd = nrm_ref[d * ftpp : (d + 1) * ftpp, :]  # (ftpp, B)
+            c_sig = V[cout, d]
+            o = nd * own[c_sig]
+            nb = nd * tr_ref[c_sig * ftpp : (c_sig + 1) * ftpp, :]
+            t_own = o if t_own is None else t_own + o
+            t_nbr = nb if t_nbr is None else t_nbr + nb
+        jump = 0.5 * t_nbr + beta_ref[:] * t_own
+        surf = _dot(lift_ref[:], jump * fsc_ref[:])  # (npp, B)
+        out_ref[cout * npp : (cout + 1) * npp, :] = irho * (div + surf)
+
+
+def _stress_kernel(dim, n_sig, npp, ftpp,
+                   u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
+                   lam_ref, mu_ref, dr_ref, lift_ref, rmat_ref, out_ref):
+    # derivatives + traces per velocity component
+    der = [[None] * dim for _ in range(dim)]
+    own = [None] * dim
+    nbr = [None] * dim
+    for c in range(dim):
+        Xc = u_ref[c * npp : (c + 1) * npp, :]
+        for r in range(dim):
+            der[r][c] = _dot(dr_ref[r * npp : (r + 1) * npp, :], Xc)
+        own[c] = _dot(rmat_ref[:], Xc)
+        nbr[c] = tr_ref[c * ftpp : (c + 1) * ftpp, :]
+
+    lam = lam_ref[0:1, :]
+    mu = mu_ref[0:1, :]
+
+    # physical gradient grad[d][c] = du_c/dx_d
+    def grad(d, c):
+        out = None
+        for r in range(dim):
+            g = ginv_ref[r * dim + d : r * dim + d + 1, :]
+            term = g * der[r][c]
+            out = term if out is None else out + term
+        return out
+
+    gcache = {(d, c): grad(d, c) for d in range(dim) for c in range(dim)}
+    divu = sum(gcache[(d, d)] for d in range(dim))
+
+    vol = []
+    for c in range(dim):
+        vol.append(lam * divu + 2.0 * mu * gcache[(c, c)])
+    if dim == 2:
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+    else:
+        vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
+        vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+
+    # velocity jump at face nodes
+    du = [0.5 * nbr[c] + delta_ref[:] * own[c] for c in range(dim)]
+    nd = [nrm_ref[d * ftpp : (d + 1) * ftpp, :] for d in range(dim)]
+    ndu = sum(nd[d] * du[d] for d in range(dim))
+    face = []
+    for c in range(dim):
+        face.append(lam * ndu + 2.0 * mu * nd[c] * du[c])
+    if dim == 2:
+        face.append(mu * (nd[0] * du[1] + nd[1] * du[0]))
+    else:
+        face.append(mu * (nd[1] * du[2] + nd[2] * du[1]))
+        face.append(mu * (nd[0] * du[2] + nd[2] * du[0]))
+        face.append(mu * (nd[0] * du[1] + nd[1] * du[0]))
+
+    for c in range(n_sig):
+        surf = _dot(lift_ref[:], face[c] * fsc_ref[:])
+        out_ref[c * npp : (c + 1) * npp, :] = vol[c] + surf
+
+
+def _lane_specs(block, row_counts):
+    """BlockSpecs blocking the lane (element) axis."""
+    return [
+        pl.BlockSpec((rows, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+        for rows in row_counts
+    ]
+
+
+def _table_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _gather_traces(p: ElasticParams, field: jax.Array) -> jax.Array:
-    """(E, nf*nfp, C) neighbour traces via the precomputed index array."""
     flat = field.reshape((-1,) + field.shape[2:])
     return flat[p.nbr].reshape(field.shape[0], p.n_faces * p.n_fp, -1)
 
 
-def _vel_kernel(dim, n_p, n_faces, n_fp, n_sig,
-                sig_ref, tr_ref, ginv_ref, fsc_ref, nrm_ref, irho_ref,
-                beta_ref, dr_ref, lift_ref, rmat_ref, out_ref):
-    V = voigt_map(dim)
-    sig = sig_ref[:]  # (B, n_p, ns)
-    # derivatives in reference coords: der[b, r, i, c]
-    der = jnp.einsum("rij,bjc->bric", dr_ref[:], sig,
-                     preferred_element_type=jnp.float32)
-    # physical: dphys[b, d, i, c] = sum_r ginv[b, r, d] der[b, r, i, c]
-    dphys = jnp.einsum("brd,bric->bdic", ginv_ref[:], der,
-                       preferred_element_type=jnp.float32)
-    div = jnp.stack(
-        [sum(dphys[:, d, :, V[c, d]] for d in range(dim))
-         for c in range(dim)],
-        axis=-1,
-    )  # (B, n_p, dim)
+def make_pallas_ops(p: ElasticParams, block: int = DEFAULT_BLOCK,
+                    interpret: bool = False):
+    """Build (vel_op, stress_op) closures from CONCRETE params.
 
-    # own traces via the 0/1 restriction matrix (static gathers are not
-    # expressible in-kernel; a (nf*nfp, n_p) matmul is)
-    own = jnp.einsum("mi,bic->bmc", rmat_ref[:], sig,
-                     preferred_element_type=jnp.float32).reshape(
-        sig.shape[0], n_faces, n_fp, n_sig)
-    nbr = tr_ref[:].reshape(sig.shape[0], n_faces, n_fp, n_sig)
-    nrm = nrm_ref[:][:, :, None, :]  # (B, nf, 1, dim)
-    t_own = jnp.stack(
-        [sum(nrm[..., d] * own[..., V[c, d]] for d in range(dim))
-         for c in range(dim)], axis=-1)
-    t_nbr = jnp.stack(
-        [sum(nrm[..., d] * nbr[..., V[c, d]] for d in range(dim))
-         for c in range(dim)], axis=-1)
-    jump = 0.5 * t_nbr + beta_ref[:][:, :, None, None] * t_own
-    flux = jump * fsc_ref[:][:, :, None, None]  # (B, nf, nfp, dim)
-    surf = jnp.einsum(
-        "im,bmc->bic", lift_ref[:],
-        flux.reshape(sig.shape[0], n_faces * n_fp, dim),
-        preferred_element_type=jnp.float32)
-    out_ref[:] = irho_ref[:][:, :, None] * (div + surf)
+    ``build_pallas_data`` runs host-side numpy on the params, so it must see
+    concrete arrays; the returned closures take (possibly traced) params for
+    the gather index array and are safe to call under jit/scan.  Signature-
+    compatible with ops.elastic.apply_vel_op/apply_stress_op.
+    """
+    d = build_pallas_data(p)
+
+    def vel_op(p_t: ElasticParams, sigma: jax.Array, pool=None):
+        return _vel_apply(d, p_t, sigma, block, interpret)
+
+    def stress_op(p_t: ElasticParams, u: jax.Array, pool=None):
+        return _stress_apply(d, p_t, u, block, interpret)
+
+    return vel_op, stress_op
 
 
-def _stress_kernel(dim, n_p, n_faces, n_fp, n_sig,
-                   u_ref, tr_ref, ginv_ref, fsc_ref, nrm_ref, lam_ref,
-                   mu_ref, delta_ref, dr_ref, lift_ref, rmat_ref, out_ref):
-    u = u_ref[:]  # (B, n_p, dim)
-    der = jnp.einsum("rij,bjc->bric", dr_ref[:], u,
-                     preferred_element_type=jnp.float32)
-    grad = jnp.einsum("brd,bric->bdic", ginv_ref[:], der,
-                      preferred_element_type=jnp.float32)
-    lam = lam_ref[:][:, :]  # (B, 1)
-    mu = mu_ref[:][:, :]
-    divu = sum(grad[:, d, :, d] for d in range(dim))  # (B, n_p)
-    comps = []
-    for c in range(dim):
-        comps.append(lam * divu + 2.0 * mu * grad[:, c, :, c])
-    if dim == 2:
-        comps.append(mu * (grad[:, 1, :, 0] + grad[:, 0, :, 1]))
-    else:
-        comps.append(mu * (grad[:, 2, :, 1] + grad[:, 1, :, 2]))
-        comps.append(mu * (grad[:, 2, :, 0] + grad[:, 0, :, 2]))
-        comps.append(mu * (grad[:, 1, :, 0] + grad[:, 0, :, 1]))
-    vol = jnp.stack(comps, axis=-1)  # (B, n_p, n_sig)
-
-    own = jnp.einsum("mi,bic->bmc", rmat_ref[:], u,
-                     preferred_element_type=jnp.float32).reshape(
-        u.shape[0], n_faces, n_fp, dim)
-    nbr = tr_ref[:].reshape(u.shape[0], n_faces, n_fp, dim)
-    du = 0.5 * nbr + delta_ref[:][:, :, None, None] * own
-    nrm = nrm_ref[:][:, :, None, :]
-    lamf = lam[:, :, None]
-    muf = mu[:, :, None]
-    ndu = sum(nrm[..., d] * du[..., d] for d in range(dim))
-    fcomps = []
-    for c in range(dim):
-        fcomps.append(lamf * ndu + 2.0 * muf * nrm[..., c] * du[..., c])
-    if dim == 2:
-        fcomps.append(muf * (nrm[..., 0] * du[..., 1]
-                             + nrm[..., 1] * du[..., 0]))
-    else:
-        fcomps.append(muf * (nrm[..., 1] * du[..., 2]
-                             + nrm[..., 2] * du[..., 1]))
-        fcomps.append(muf * (nrm[..., 0] * du[..., 2]
-                             + nrm[..., 2] * du[..., 0]))
-        fcomps.append(muf * (nrm[..., 0] * du[..., 1]
-                             + nrm[..., 1] * du[..., 0]))
-    face = jnp.stack(fcomps, axis=-1) * fsc_ref[:][:, :, None, None]
-    surf = jnp.einsum(
-        "im,bmc->bic", lift_ref[:],
-        face.reshape(u.shape[0], n_faces * n_fp, n_sig),
-        preferred_element_type=jnp.float32)
-    out_ref[:] = vol + surf
-
-
-def _block_specs(block, shapes):
-    """Element-blocked in_specs: each array blocked on axis 0."""
-    specs = []
-    for s in shapes:
-        bs = (block,) + s[1:]
-        specs.append(
-            pl.BlockSpec(bs, lambda i, _n=len(s): (i,) + (0,) * (_n - 1),
-                         memory_space=pltpu.VMEM)
-        )
-    return specs
-
-
-def _rep_spec(shape):
-    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                        memory_space=pltpu.VMEM)
-
-
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def vel_op_pallas(p: ElasticParams, sigma: jax.Array,
                   block: int = DEFAULT_BLOCK,
                   interpret: bool = False) -> jax.Array:
-    """Pallas twin of ops.elastic.apply_vel_op (single-chip gather)."""
-    E = sigma.shape[0]
-    traces = _gather_traces(p, sigma)
-    rmat = _restriction_matrix(p, sigma.dtype)
-
-    args = (
-        _pad_to(sigma, block),
-        _pad_to(traces, block),
-        _pad_to(p.Ginv, block),
-        _pad_to(p.Fscale, block),
-        _pad_to(p.normals, block),
-        _pad_to(p.inv_rho[:, None], block),
-        _pad_to(p.beta_t, block),
-    )
-    E_pad = args[0].shape[0]
-    grid = (E_pad // block,)
-    kernel = functools.partial(
-        _vel_kernel, p.dim, p.n_p, p.n_faces, p.n_fp, p.n_sig)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((E_pad, p.n_p, p.dim), sigma.dtype),
-        grid=grid,
-        in_specs=_block_specs(block, [a.shape for a in args])
-        + [_rep_spec(p.Dr.shape), _rep_spec(p.LIFT.shape),
-           _rep_spec(rmat.shape)],
-        out_specs=pl.BlockSpec((block, p.n_p, p.dim), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*args, p.Dr, p.LIFT, rmat)
-    return out[:E]
+    """Convenience one-shot wrapper (requires concrete p)."""
+    d = build_pallas_data(p)
+    return _vel_apply(d, p, sigma, block, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def stress_op_pallas(p: ElasticParams, u: jax.Array,
                      block: int = DEFAULT_BLOCK,
                      interpret: bool = False) -> jax.Array:
-    """Pallas twin of ops.elastic.apply_stress_op (single-chip gather)."""
-    E = u.shape[0]
-    traces = _gather_traces(p, u)
-    rmat = _restriction_matrix(p, u.dtype)
+    """Convenience one-shot wrapper (requires concrete p)."""
+    d = build_pallas_data(p)
+    return _stress_apply(d, p, u, block, interpret)
 
-    args = (
-        _pad_to(u, block),
-        _pad_to(traces, block),
-        _pad_to(p.Ginv, block),
-        _pad_to(p.Fscale, block),
-        _pad_to(p.normals, block),
-        _pad_to(p.lam[:, None], block),
-        _pad_to(p.mu[:, None], block),
-        _pad_to(p.delta_u, block),
-    )
-    E_pad = args[0].shape[0]
+
+def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
+               block: int, interpret: bool) -> jax.Array:
+    E = sigma.shape[0]
+    traces = _gather_traces(p, sigma)  # (E, ftp, n_sig)
+
+    sig_lm = _to_lane_major(sigma, d.npp, block)
+    tr_lm = _to_lane_major(traces, d.ftpp, block)
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.beta, d.irho)]
+    E_pad = sig_lm.shape[1]
     grid = (E_pad // block,)
-    kernel = functools.partial(
-        _stress_kernel, p.dim, p.n_p, p.n_faces, p.n_fp, p.n_sig)
+
+    kernel = functools.partial(_vel_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((E_pad, p.n_p, p.n_sig), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((d.dim * d.npp, E_pad), sigma.dtype),
         grid=grid,
-        in_specs=_block_specs(block, [a.shape for a in args])
-        + [_rep_spec(p.Dr.shape), _rep_spec(p.LIFT.shape),
-           _rep_spec(rmat.shape)],
-        out_specs=pl.BlockSpec((block, p.n_p, p.n_sig), lambda i: (i, 0, 0),
+        in_specs=_lane_specs(
+            block,
+            [sig_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
+        )
+        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
+           _table_spec(d.rmat.shape)],
+        out_specs=pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*args, p.Dr, p.LIFT, rmat)
-    return out[:E]
+    )(sig_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+    return _from_lane_major(out, d.n_p, d.npp, d.dim, E)
+
+
+def _stress_apply(d: PallasOpData, p: ElasticParams, u: jax.Array,
+                  block: int, interpret: bool) -> jax.Array:
+    E = u.shape[0]
+    traces = _gather_traces(p, u)  # (E, ftp, dim)
+
+    u_lm = _to_lane_major(u, d.npp, block)
+    tr_lm = _to_lane_major(traces, d.ftpp, block)
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu)]
+    E_pad = u_lm.shape[1]
+    grid = (E_pad // block,)
+
+    kernel = functools.partial(_stress_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d.n_sig * d.npp, E_pad), u.dtype),
+        grid=grid,
+        in_specs=_lane_specs(
+            block,
+            [u_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
+        )
+        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
+           _table_spec(d.rmat.shape)],
+        out_specs=pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+    return _from_lane_major(out, d.n_p, d.npp, d.n_sig, E)
