@@ -83,13 +83,29 @@ def setup_case(
 
 def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
-    warmup: bool = True, impl: str = "einsum",
+    warmup: bool = True, impl: str = "einsum", dm=None,
 ) -> BenchResult:
+    """impl: einsum | xla_roll | pallas | pallas_roll (roll variants need
+    the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
-    if impl == "pallas":
+    dm_for_ex = dm
+    if impl in ("pallas", "pallas_roll"):
         from ..ops.pallas_kernels import make_pallas_ops
 
-        vel_op, stress_op = make_pallas_ops(p)
+        ex = None
+        if impl == "pallas_roll" and dm_for_ex is not None:
+            from ..ops.structured_exchange import detect_structured
+
+            ex = detect_structured(dm_for_ex)
+        vel_op, stress_op = make_pallas_ops(p, exchange=ex)
+    elif impl == "xla_roll":
+        from ..ops.structured_exchange import (
+            detect_structured, make_structured_ops)
+
+        ex = detect_structured(dm_for_ex) if dm_for_ex is not None else None
+        if ex is None:
+            raise ValueError("xla_roll requires a structured mesh")
+        vel_op, stress_op = make_structured_ops(p, ex)
     else:
         from ..ops import apply_stress_op, apply_vel_op
 

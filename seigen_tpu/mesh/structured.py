@@ -15,12 +15,19 @@ import numpy as np
 
 @dataclass(frozen=True)
 class MeshTopology:
-    """A simplicial mesh plus the metadata connectivity needs."""
+    """A simplicial mesh plus the metadata connectivity needs.
+
+    ``structure``, when set by a structured mesher, is ((n0, n1[, n2]), m):
+    cells laid out lexicographically on that grid with m simplices per cell,
+    element id e = cell_flat * m + t.  It enables the roll-based structured
+    trace exchange (ops/structured_exchange.py); None for general meshes.
+    """
 
     vertices: np.ndarray  # (Nv, dim)
     cells: np.ndarray  # (E, dim+1) vertex ids, positive orientation
     extents: tuple  # ((x0, x1), (y0, y1)[, (z0, z1)]) bounding box
     periodic: tuple = ()  # axes with periodic identification, e.g. (0, 1)
+    structure: tuple | None = None  # ((grid dims), simplices per cell)
 
     @property
     def dim(self) -> int:
@@ -81,6 +88,7 @@ def rect_mesh(
         cells=cells,
         extents=((x0, x0 + lx), (y0, y0 + ly)),
         periodic=tuple(periodic),
+        structure=((nx, ny), 2),
     )
 
 
@@ -141,4 +149,5 @@ def box_mesh(
         cells=cells,
         extents=((x0, x0 + lx), (y0, y0 + ly), (z0, z0 + lz)),
         periodic=tuple(periodic),
+        structure=((nx, ny, nz), 6),
     )

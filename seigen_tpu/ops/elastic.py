@@ -189,16 +189,22 @@ def _phys_grad(p: ElasticParams, field: jax.Array) -> jax.Array:
     return jnp.einsum("erd,eric->edic", p.Ginv, der)
 
 
-def _traces(p: ElasticParams, field: jax.Array, pool: jax.Array | None):
+def _traces(p: ElasticParams, field: jax.Array, pool: jax.Array | None,
+            traces: jax.Array | None = None):
     """Own and neighbour face traces: each (E, n_faces, n_fp, C).
 
     ``pool`` overrides the gather source for neighbour traces: in sharded
     runs it is [local flat nodes | halo ghost pool] and ``p.nbr`` has been
     remapped into it by parallel.partition (single-chip: None -> gather from
-    the field itself).
+    the field itself).  ``traces`` bypasses the gather entirely with
+    precomputed neighbour traces (E, nf*nfp, C) — the structured roll
+    exchange (ops/structured_exchange.py).
     """
     fn = jnp.asarray(np.array(p.fnodes), dtype=jnp.int32)
     own = field[:, fn]  # (E, n_faces, n_fp, C)
+    if traces is not None:
+        nbr = traces.reshape(own.shape)
+        return own, nbr
     flat = pool if pool is not None else field.reshape((-1,) + field.shape[2:])
     nbr = flat[p.nbr]  # (E, n_faces, n_fp, C)
     return own, nbr
@@ -212,7 +218,10 @@ def _lift(p: ElasticParams, face_flux: jax.Array) -> jax.Array:
 
 
 def apply_vel_op(
-    p: ElasticParams, sigma: jax.Array, pool: jax.Array | None = None
+    p: ElasticParams,
+    sigma: jax.Array,
+    pool: jax.Array | None = None,
+    traces: jax.Array | None = None,
 ) -> jax.Array:
     """A_u(sigma) = Minv * Lu(sigma): discrete (1/rho) div(sigma).
 
@@ -231,7 +240,7 @@ def apply_vel_op(
         axis=-1,
     )  # (E, n_p, dim)
 
-    own, nbr = _traces(p, sigma, pool)
+    own, nbr = _traces(p, sigma, pool, traces)
     nrm = p.normals[:, :, None, :]  # (E, n_faces, 1, dim)
     # tractions t_c = n_d sigma_{cd}
     t_own = jnp.stack(
@@ -255,7 +264,10 @@ def apply_vel_op(
 
 
 def apply_stress_op(
-    p: ElasticParams, u: jax.Array, pool: jax.Array | None = None
+    p: ElasticParams,
+    u: jax.Array,
+    pool: jax.Array | None = None,
+    traces: jax.Array | None = None,
 ) -> jax.Array:
     """A_s(u) = Minv * Ls(u): discrete Hooke's law applied to sym grad(u).
 
@@ -282,7 +294,7 @@ def apply_stress_op(
 
     vol = hooke(lambda c, d: grad[:, d, :, c])
 
-    own, nbr = _traces(p, u, pool)
+    own, nbr = _traces(p, u, pool, traces)
     du = 0.5 * nbr + p.delta_u[:, :, None, None] * own  # (E, nf, nfp, dim)
     nrm = p.normals[:, :, None, :]
     lamf = p.lam[:, None, None]

@@ -292,21 +292,24 @@ def _gather_traces(p: ElasticParams, field: jax.Array) -> jax.Array:
 
 
 def make_pallas_ops(p: ElasticParams, block: int = DEFAULT_BLOCK,
-                    interpret: bool = False):
+                    interpret: bool = False, exchange=None):
     """Build (vel_op, stress_op) closures from CONCRETE params.
 
     ``build_pallas_data`` runs host-side numpy on the params, so it must see
     concrete arrays; the returned closures take (possibly traced) params for
     the gather index array and are safe to call under jit/scan.  Signature-
     compatible with ops.elastic.apply_vel_op/apply_stress_op.
+
+    ``exchange``: a StructuredExchange plan replaces the unstructured trace
+    gather with the roll-based fast path (ops/structured_exchange.py).
     """
     d = build_pallas_data(p)
 
     def vel_op(p_t: ElasticParams, sigma: jax.Array, pool=None):
-        return _vel_apply(d, p_t, sigma, block, interpret)
+        return _vel_apply(d, p_t, sigma, block, interpret, exchange)
 
     def stress_op(p_t: ElasticParams, u: jax.Array, pool=None):
-        return _stress_apply(d, p_t, u, block, interpret)
+        return _stress_apply(d, p_t, u, block, interpret, exchange)
 
     return vel_op, stress_op
 
@@ -328,9 +331,14 @@ def stress_op_pallas(p: ElasticParams, u: jax.Array,
 
 
 def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
-               block: int, interpret: bool) -> jax.Array:
+               block: int, interpret: bool, exchange=None) -> jax.Array:
     E = sigma.shape[0]
-    traces = _gather_traces(p, sigma)  # (E, ftp, n_sig)
+    if exchange is not None:
+        from .structured_exchange import gather_traces_structured
+
+        traces = gather_traces_structured(exchange, sigma)
+    else:
+        traces = _gather_traces(p, sigma)  # (E, ftp, n_sig)
 
     sig_lm = _to_lane_major(sigma, d.npp, block)
     tr_lm = _to_lane_major(traces, d.ftpp, block)
@@ -358,9 +366,14 @@ def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
 
 
 def _stress_apply(d: PallasOpData, p: ElasticParams, u: jax.Array,
-                  block: int, interpret: bool) -> jax.Array:
+                  block: int, interpret: bool, exchange=None) -> jax.Array:
     E = u.shape[0]
-    traces = _gather_traces(p, u)  # (E, ftp, dim)
+    if exchange is not None:
+        from .structured_exchange import gather_traces_structured
+
+        traces = gather_traces_structured(exchange, u)
+    else:
+        traces = _gather_traces(p, u)  # (E, ftp, dim)
 
     u_lm = _to_lane_major(u, d.npp, block)
     tr_lm = _to_lane_major(traces, d.ftpp, block)
