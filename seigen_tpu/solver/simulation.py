@@ -31,6 +31,7 @@ class SimConfig:
     order: int = 4  # LF2 | LF4
     cfl: float = 0.4
     dtype: str = "float32"
+    impl: str = "auto"  # auto | einsum | xla_roll | pallas | pallas_roll
     free_sides: tuple = ()  # ((axis, "lo"|"hi"), ...)
     absorbing_sides: tuple = ()  # rest default to free surface
     sponge_width: float = 0.0
@@ -90,6 +91,43 @@ class ElasticSimulation:
             float(self.dm.h.min()), vp_max, config.degree, config.cfl
         )
         self._dtype = dtype
+        self._vel_op, self._stress_op = self._select_ops(config.impl)
+
+    def _select_ops(self, impl: str):
+        """Pick the operator backend.
+
+        "auto": structured roll exchange when the mesh supports it, fused
+        Pallas kernels on TPU backends, einsum otherwise.
+        """
+        from ..ops import apply_stress_op, apply_vel_op
+        from ..ops.structured_exchange import (
+            detect_structured,
+            make_structured_ops,
+        )
+
+        ex = None
+        if impl in ("auto", "xla_roll", "pallas_roll"):
+            ex = detect_structured(self.dm)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if impl == "auto":
+            impl = (
+                ("pallas_roll" if ex is not None else "pallas")
+                if on_tpu
+                else ("xla_roll" if ex is not None else "einsum")
+            )
+        if impl == "einsum":
+            return apply_vel_op, apply_stress_op
+        if impl == "xla_roll":
+            if ex is None:
+                raise ValueError("xla_roll requires a structured mesh")
+            return make_structured_ops(self.params, ex)
+        if impl in ("pallas", "pallas_roll"):
+            from ..ops.pallas_kernels import make_pallas_ops
+
+            return make_pallas_ops(
+                self.params, exchange=ex if impl == "pallas_roll" else None
+            )
+        raise ValueError(f"unknown impl {impl!r}")
 
     def zero_state(self) -> State:
         E, n_p = self.dm.num_elements, self.dm.re.n_p
@@ -123,6 +161,8 @@ class ElasticSimulation:
                 src=self.sources,
                 damp=self.damp,
                 receivers=self.receivers,
+                vel_op=self._vel_op,
+                stress_op=self._stress_op,
             )
         )
         fin, seis = runner(self.params, state)
@@ -136,6 +176,8 @@ class ElasticSimulation:
             order=self.config.order,
             src=self.sources,
             damp=self.damp,
+            vel_op=self._vel_op,
+            stress_op=self._stress_op,
         )
 
     def sample(self, state: State) -> np.ndarray | None:
