@@ -33,7 +33,7 @@ def main():
             res = measure(p, src, damp, dt, state0, n_steps=10)
             baseline_rate = res.dof_updates_per_sec
 
-    out = bench_main(n=20, degree=3, n_steps=50,
+    out = bench_main(n=24, degree=3, n_steps=50,
                      baseline_dof_rate=baseline_rate)
     out["detail"]["cpu_baseline_dof_rate"] = baseline_rate
     print(json.dumps(out))

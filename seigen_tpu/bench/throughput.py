@@ -139,9 +139,22 @@ def measure(
 
 
 def main(n: int = 24, degree: int = 3, n_steps: int = 50,
-         baseline_dof_rate: float | None = None) -> dict:
+         baseline_dof_rate: float | None = None, impl: str = "auto") -> dict:
     dm, p, src, damp, dt, state0 = setup_case(n=n, degree=degree)
-    res = measure(p, src, damp, dt, state0, n_steps=n_steps)
+    if impl == "auto":
+        # best-known path on TPU; robust fallback if the pallas/roll path
+        # regresses on a new runtime
+        for candidate in ("pallas_roll", "xla_roll", "einsum"):
+            try:
+                res = measure(p, src, damp, dt, state0, n_steps=n_steps,
+                              impl=candidate, dm=dm)
+                impl = candidate
+                break
+            except Exception:
+                continue
+    else:
+        res = measure(p, src, damp, dt, state0, n_steps=n_steps, impl=impl,
+                      dm=dm)
     out = {
         "metric": "dof_updates_per_sec_per_chip_3d_explosive",
         "value": res.dof_updates_per_sec,
@@ -159,6 +172,7 @@ def main(n: int = 24, degree: int = 3, n_steps: int = 50,
             "seconds": res.seconds,
             "steps_per_sec": res.steps_per_sec,
             "backend": jax.devices()[0].platform,
+            "impl": impl,
         },
     }
     return out
