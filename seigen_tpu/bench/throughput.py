@@ -89,6 +89,33 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
+    if impl == "lane":
+        from ..ops.structured_exchange import detect_structured
+        from ..solver.lane_major import LaneMajorRunner
+
+        ex = detect_structured(dm)
+        if ex is None:
+            raise ValueError("lane impl requires a structured mesh")
+        runner = LaneMajorRunner(p, ex, dt, order=order, src=src, damp=damp)
+        if warmup:
+            fin = runner.run(state0, n_steps)[0]
+            fin.u.block_until_ready()
+        t0 = time.perf_counter()
+        fin = runner.run(state0, n_steps)[0]
+        np.asarray(fin.u[0, 0, 0])  # forced readback (see BENCH_NOTES.md)
+        dt_wall = time.perf_counter() - t0
+        E = state0.u.shape[0]
+        n_p = state0.u.shape[1]
+        n_dof = E * n_p * (dim + n_sig_for(dim))
+        return BenchResult(
+            dof_updates_per_sec=n_dof * n_steps / dt_wall,
+            steps_per_sec=n_steps / dt_wall,
+            n_elements=E,
+            n_dof=n_dof,
+            degree=p.degree,
+            n_steps=n_steps,
+            seconds=dt_wall,
+        )
     if impl in ("pallas", "pallas_roll"):
         from ..ops.pallas_kernels import make_pallas_ops
 
@@ -144,7 +171,7 @@ def main(n: int = 24, degree: int = 3, n_steps: int = 50,
     if impl == "auto":
         # best-known path on TPU; robust fallback if the pallas/roll path
         # regresses on a new runtime
-        for candidate in ("pallas_roll", "xla_roll", "einsum"):
+        for candidate in ("lane", "pallas_roll", "xla_roll", "einsum"):
             try:
                 res = measure(p, src, damp, dt, state0, n_steps=n_steps,
                               impl=candidate, dm=dm)

@@ -330,6 +330,31 @@ def stress_op_pallas(p: ElasticParams, u: jax.Array,
     return _stress_apply(d, p, u, block, interpret)
 
 
+def vel_op_lm(d: PallasOpData, sig_lm: jax.Array, tr_lm: jax.Array,
+              block: int = DEFAULT_BLOCK,
+              interpret: bool = False) -> jax.Array:
+    """Raw lane-major fused velocity operator: (C npp, E_pad) in/out."""
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.beta, d.irho)]
+    E_pad = sig_lm.shape[1]
+    grid = (E_pad // block,)
+    kernel = functools.partial(_vel_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d.dim * d.npp, E_pad), sig_lm.dtype),
+        grid=grid,
+        in_specs=_lane_specs(
+            block,
+            [sig_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
+        )
+        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
+           _table_spec(d.rmat.shape)],
+        out_specs=pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sig_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+
+
 def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
                block: int, interpret: bool, exchange=None) -> jax.Array:
     E = sigma.shape[0]
@@ -342,27 +367,33 @@ def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
 
     sig_lm = _to_lane_major(sigma, d.npp, block)
     tr_lm = _to_lane_major(traces, d.ftpp, block)
-    geo = [_pad_lanes(x, block)
-           for x in (d.ginv, d.nrm, d.fsc, d.beta, d.irho)]
-    E_pad = sig_lm.shape[1]
-    grid = (E_pad // block,)
+    out = vel_op_lm(d, sig_lm, tr_lm, block, interpret)
+    return _from_lane_major(out, d.n_p, d.npp, d.dim, E)
 
-    kernel = functools.partial(_vel_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
-    out = pl.pallas_call(
+
+def stress_op_lm(d: PallasOpData, u_lm: jax.Array, tr_lm: jax.Array,
+                 block: int = DEFAULT_BLOCK,
+                 interpret: bool = False) -> jax.Array:
+    """Raw lane-major fused stress operator: (C npp, E_pad) in/out."""
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu)]
+    E_pad = u_lm.shape[1]
+    grid = (E_pad // block,)
+    kernel = functools.partial(_stress_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((d.dim * d.npp, E_pad), sigma.dtype),
+        out_shape=jax.ShapeDtypeStruct((d.n_sig * d.npp, E_pad), u_lm.dtype),
         grid=grid,
         in_specs=_lane_specs(
             block,
-            [sig_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
+            [u_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
         )
         + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
            _table_spec(d.rmat.shape)],
-        out_specs=pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
+        out_specs=pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sig_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
-    return _from_lane_major(out, d.n_p, d.npp, d.dim, E)
+    )(u_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
 
 
 def _stress_apply(d: PallasOpData, p: ElasticParams, u: jax.Array,
@@ -377,24 +408,5 @@ def _stress_apply(d: PallasOpData, p: ElasticParams, u: jax.Array,
 
     u_lm = _to_lane_major(u, d.npp, block)
     tr_lm = _to_lane_major(traces, d.ftpp, block)
-    geo = [_pad_lanes(x, block)
-           for x in (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu)]
-    E_pad = u_lm.shape[1]
-    grid = (E_pad // block,)
-
-    kernel = functools.partial(_stress_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((d.n_sig * d.npp, E_pad), u.dtype),
-        grid=grid,
-        in_specs=_lane_specs(
-            block,
-            [u_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
-        )
-        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
-           _table_spec(d.rmat.shape)],
-        out_specs=pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(u_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+    out = stress_op_lm(d, u_lm, tr_lm, block, interpret)
     return _from_lane_major(out, d.n_p, d.npp, d.n_sig, E)

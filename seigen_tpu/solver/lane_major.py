@@ -1,0 +1,258 @@
+"""Fully lane-major LF2/LF4 solver path — the TPU speed-of-light pipeline.
+
+Measurement (BENCH_NOTES.md): the fused lane-major Pallas operator runs in
+~0.4 ms at E=83k, but converting (E, n_p, C) <-> (C n_p, E) around every call
+costs ~10x that.  This module keeps the ENTIRE scan state in the lane-major
+layout — u: (dim*npp, E_pad), sigma: (n_sig*npp, E_pad) — so a timestep is
+exactly: roll-exchange (row space) -> fused kernel, 6x, plus source
+scatter-add into lane columns and a tiled damping multiply.  Layout
+conversions happen once at the start/end of a run.
+
+Requires a structured mesh (ops/structured_exchange.py) and the Pallas
+kernels; the general-layout path in solver/timestep.py remains the fallback
+and the correctness oracle (tests/test_lane_major.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elastic import ElasticParams
+from ..ops.pallas_kernels import (
+    DEFAULT_BLOCK,
+    PallasOpData,
+    build_pallas_data,
+    stress_op_lm,
+    vel_op_lm,
+)
+from ..ops.structured_exchange import StructuredExchange, _class_index
+from .receivers import ReceiverData
+from .source import SourceData, ricker
+from .timestep import State
+
+
+def _rup(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def to_lm(x: jax.Array, rows_pad: int, E_pad: int) -> jax.Array:
+    """(E, m, C) -> (C*rows_pad, E_pad)."""
+    E, m, C = x.shape
+    out = jnp.zeros((C * rows_pad, E_pad), dtype=x.dtype)
+    xt = x.transpose(2, 1, 0)
+    for c in range(C):
+        out = out.at[c * rows_pad : c * rows_pad + m, :E].set(xt[c])
+    return out
+
+
+def from_lm(y: jax.Array, m: int, rows_pad: int, C: int, E: int) -> jax.Array:
+    parts = [y[c * rows_pad : c * rows_pad + m, :E] for c in range(C)]
+    return jnp.stack(parts, axis=0).transpose(2, 1, 0)
+
+
+def make_exchange_lm(ex: StructuredExchange, d: PallasOpData, C: int,
+                     E: int, E_pad: int):
+    """Build the lane-major roll-based trace exchange:
+    (C*npp, E_pad) field -> (C*ftpp, E_pad) neighbour traces."""
+    dim = len(ex.grid)
+    lane_shape = ()
+    for G in ex.grid:
+        lane_shape += (G, ex.scale)
+    lane_shape += (ex.m0,)
+
+    # precompute static row-index arrays per class/face
+    rows_src = {}
+    rows_own = {}
+    rows_dst = {}
+    for t in range(ex.m):
+        for f in range(ex.n_faces):
+            rows_src[(t, f)] = np.concatenate(
+                [c * d.npp + ex.nodes[t, f] for c in range(C)])
+            rows_own[(t, f)] = np.concatenate(
+                [c * d.npp + ex.own_nodes[f] for c in range(C)])
+            rows_dst[(t, f)] = np.concatenate(
+                [c * d.ftpp + f * ex.n_fp + np.arange(ex.n_fp)
+                 for c in range(C)])
+    masks = {
+        (t, f): jnp.asarray(ex.self_mask[t, f])[None]
+        for t in range(ex.m) for f in range(ex.n_faces)
+    }
+
+    def exchange(f_lm: jax.Array) -> jax.Array:
+        F = f_lm[:, :E].reshape((C * d.npp,) + lane_shape)
+        out = jnp.zeros((C * d.ftpp,) + lane_shape, f_lm.dtype)
+        for t in range(ex.m):
+            subs, tb = _class_index(ex, t)
+            lidx = tuple(
+                y for s in subs for y in (slice(None), s)) + (tb,)
+            for f in range(ex.n_faces):
+                t2 = int(ex.nbr_class[t, f])
+                subs2, tb2 = _class_index(ex, t2)
+                lidx2 = tuple(
+                    y for s in subs2 for y in (slice(None), s)) + (tb2,)
+                blk = F[(rows_src[(t, f)],) + lidx2]  # (C*nfp, G0, G1[,G2])
+                for ax in range(dim):
+                    s = int(ex.shift[t, f, ax])
+                    if s:
+                        blk = jnp.roll(blk, -s, axis=1 + ax)
+                own_blk = F[(rows_own[(t, f)],) + lidx]
+                blk = jnp.where(masks[(t, f)], own_blk, blk)
+                out = out.at[(rows_dst[(t, f)],) + lidx].set(blk)
+        out = out.reshape(C * d.ftpp, E)
+        if E_pad != E:
+            out = jnp.pad(out, ((0, 0), (0, E_pad - E)))
+        return out
+
+    return exchange
+
+
+@dataclass
+class LaneMajorRunner:
+    """Build once from concrete data; run entire simulations lane-major."""
+
+    def __init__(
+        self,
+        p: ElasticParams,
+        ex: StructuredExchange,
+        dt: float,
+        order: int = 4,
+        src: SourceData | None = None,
+        damp: jax.Array | None = None,
+        receivers: ReceiverData | None = None,
+        block: int = DEFAULT_BLOCK,
+        interpret: bool = False,
+    ):
+        d = build_pallas_data(p)
+        self.d = d
+        self.p = p
+        self.ex = ex
+        self.block = block
+        self.interpret = interpret
+        self.order = order
+        E = d.E
+        E_pad = _rup(E, block)
+        self.E, self.E_pad = E, E_pad
+        self.dtype = p.Ginv.dtype
+        self.dt = jnp.asarray(dt, self.dtype)
+
+        self.ex_u = make_exchange_lm(ex, d, d.dim, E, E_pad)
+        self.ex_s = make_exchange_lm(ex, d, d.n_sig, E, E_pad)
+
+        # tiled damping rows
+        if damp is not None:
+            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn[: d.n_p] = np.asarray(damp).T
+            dn = np.pad(dn, ((0, 0), (0, E_pad - E)))
+            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+            self.damp_s = jnp.asarray(np.tile(dn, (d.n_sig, 1)), self.dtype)
+        else:
+            self.damp_u = self.damp_s = None
+
+        # lane-major source vectors
+        if src is not None:
+            K = src.elems.shape[0]
+            vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
+            vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+            for c in range(d.dim):
+                vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                    src.vec_u[:, :, c]).T
+            for c in range(d.n_sig):
+                vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                    src.vec_s[:, :, c]).T
+            self.src_elems = src.elems
+            self.src_vu = jnp.asarray(vu, self.dtype)
+            self.src_vs = jnp.asarray(vs, self.dtype)
+            self.src_f0, self.src_t0, self.src_amp = src.f0, src.t0, src.amp
+        else:
+            self.src_elems = None
+
+        self.rcv = receivers
+
+    # --- state conversion ---
+    def to_lm_state(self, state: State):
+        d = self.d
+        return (
+            to_lm(state.u, d.npp, self.E_pad),
+            to_lm(state.s, d.npp, self.E_pad),
+        )
+
+    def from_lm_state(self, ulm, slm) -> State:
+        d = self.d
+        return State(
+            u=from_lm(ulm, d.n_p, d.npp, d.dim, self.E),
+            s=from_lm(slm, d.n_p, d.npp, d.n_sig, self.E),
+        )
+
+    # --- step pieces ---
+    def _vel(self, s_lm):
+        return vel_op_lm(self.d, s_lm, self.ex_s(s_lm), self.block,
+                         self.interpret)
+
+    def _stress(self, u_lm):
+        return stress_op_lm(self.d, u_lm, self.ex_u(u_lm), self.block,
+                            self.interpret)
+
+    def _inject_u(self, du_lm, t):
+        if self.src_elems is None:
+            return du_lm
+        r = self.src_amp * ricker(t, self.src_f0, self.src_t0)
+        return du_lm.at[:, self.src_elems].add(
+            self.src_vu * r[None, :].astype(self.dtype))
+
+    def _inject_s(self, ds_lm, t):
+        if self.src_elems is None:
+            return ds_lm
+        r = self.src_amp * ricker(t, self.src_f0, self.src_t0)
+        return ds_lm.at[:, self.src_elems].add(
+            self.src_vs * r[None, :].astype(self.dtype))
+
+    def step(self, carry, t):
+        u, s = carry
+        dt, d = self.dt, self.d
+        c3 = dt**3 / 24.0
+        uh1 = self._inject_u(self._vel(s), t + 0.5 * dt)
+        if self.order == 4:
+            uh2 = self._vel(self._stress(uh1))
+            u = u + dt * uh1 + c3 * uh2
+        else:
+            u = u + dt * uh1
+        sh1 = self._inject_s(self._stress(u), t + dt)
+        if self.order == 4:
+            sh2 = self._stress(self._vel(sh1))
+            s = s + dt * sh1 + c3 * sh2
+        else:
+            s = s + dt * sh1
+        if self.damp_u is not None:
+            u = u * self.damp_u
+            s = s * self.damp_s
+        return (u, s)
+
+    def _sample(self, u_lm):
+        d = self.d
+        g = u_lm[:, self.rcv.elems]  # (dim*npp, R)
+        g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
+        return jnp.einsum("ri,cir->rc", self.rcv.weights, g3)
+
+    def run(self, state0: State, n_steps: int):
+        """Jitted lane-major scan; returns (final State, seismograms)."""
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def go(ulm, slm, n):
+            def body(carry, k):
+                carry = self.step(carry, k.astype(self.dtype) * self.dt)
+                ys = self._sample(carry[0]) if self.rcv is not None else None
+                return carry, ys
+
+            (ulm, slm), seis = jax.lax.scan(
+                body, (ulm, slm), jnp.arange(n))
+            return ulm, slm, seis
+
+        ulm, slm = self.to_lm_state(state0)
+        ulm, slm, seis = go(ulm, slm, n_steps)
+        return self.from_lm_state(ulm, slm), (
+            None if seis is None else np.asarray(seis))
