@@ -55,55 +55,88 @@ def from_lm(y: jax.Array, m: int, rows_pad: int, C: int, E: int) -> jax.Array:
     return jnp.stack(parts, axis=0).transpose(2, 1, 0)
 
 
+def class_major_perm(ex: StructuredExchange, E: int):
+    """Element permutation to class-major lane order.
+
+    Returns (old_of_new, new_of_old): new id = class * n_cells + supercell
+    lex index — every class becomes a CONTIGUOUS lane slice, so exchange
+    reads/writes are dense (interleaved-lane writes measured ~10x slower).
+    """
+    base_grid = ex.base_grid
+    scale, m0 = ex.scale, ex.m0
+    idx = np.arange(E)
+    t = idx % m0
+    c = idx // m0
+    cs = []
+    for g in reversed(base_grid):
+        cs.append(c % g)
+        c = c // g
+    cs = cs[::-1]
+    sup = [ci // scale for ci in cs]
+    sub = [ci % scale for ci in cs]
+    k = np.zeros_like(t)
+    for s in sub:
+        k = k * scale + s
+    cls = k * m0 + t
+    supflat = sup[0]
+    for g, ci in zip(ex.grid[1:], sup[1:]):
+        supflat = supflat * g + ci
+    NC = int(np.prod(ex.grid))
+    new_of_old = cls * NC + supflat
+    old_of_new = np.empty(E, dtype=np.int64)
+    old_of_new[new_of_old] = np.arange(E)
+    return old_of_new, new_of_old
+
+
 def make_exchange_lm(ex: StructuredExchange, d: PallasOpData, C: int,
                      E: int, E_pad: int):
-    """Build the lane-major roll-based trace exchange:
-    (C*npp, E_pad) field -> (C*ftpp, E_pad) neighbour traces."""
-    dim = len(ex.grid)
-    lane_shape = ()
-    for G in ex.grid:
-        lane_shape += (G, ex.scale)
-    lane_shape += (ex.m0,)
+    """Lane-major roll-based trace exchange in CLASS-MAJOR element order:
+    (C*npp, E_pad) field -> (C*ftpp, E_pad) neighbour traces.
 
-    # precompute static row-index arrays per class/face
+    Lanes factor as (m, G0, G1[, G2]): class slices are contiguous, rolls act
+    on the dense supercell grid, and all writes are contiguous lane blocks.
+    """
+    dim = len(ex.grid)
+    NC = int(np.prod(ex.grid))
+
     rows_src = {}
     rows_own = {}
-    rows_dst = {}
     for t in range(ex.m):
         for f in range(ex.n_faces):
             rows_src[(t, f)] = np.concatenate(
                 [c * d.npp + ex.nodes[t, f] for c in range(C)])
             rows_own[(t, f)] = np.concatenate(
                 [c * d.npp + ex.own_nodes[f] for c in range(C)])
-            rows_dst[(t, f)] = np.concatenate(
-                [c * d.ftpp + f * ex.n_fp + np.arange(ex.n_fp)
-                 for c in range(C)])
     masks = {
-        (t, f): jnp.asarray(ex.self_mask[t, f])[None]
+        (t, f): jnp.asarray(
+            ex.self_mask[t, f].reshape(-1))[None]  # (1, NC)
         for t in range(ex.m) for f in range(ex.n_faces)
     }
 
     def exchange(f_lm: jax.Array) -> jax.Array:
-        F = f_lm[:, :E].reshape((C * d.npp,) + lane_shape)
-        out = jnp.zeros((C * d.ftpp,) + lane_shape, f_lm.dtype)
+        # lanes: (m, NC); per-class slices are contiguous
+        F = f_lm[:, :E]
+        cls_blocks = []  # per class: (C*ftpp, NC)
         for t in range(ex.m):
-            subs, tb = _class_index(ex, t)
-            lidx = tuple(
-                y for s in subs for y in (slice(None), s)) + (tb,)
+            face_blocks = []
             for f in range(ex.n_faces):
                 t2 = int(ex.nbr_class[t, f])
-                subs2, tb2 = _class_index(ex, t2)
-                lidx2 = tuple(
-                    y for s in subs2 for y in (slice(None), s)) + (tb2,)
-                blk = F[(rows_src[(t, f)],) + lidx2]  # (C*nfp, G0, G1[,G2])
+                blk = F[:, t2 * NC : (t2 + 1) * NC][rows_src[(t, f)]]
+                blk = blk.reshape((len(rows_src[(t, f)]),) + ex.grid)
                 for ax in range(dim):
                     s = int(ex.shift[t, f, ax])
                     if s:
                         blk = jnp.roll(blk, -s, axis=1 + ax)
-                own_blk = F[(rows_own[(t, f)],) + lidx]
+                blk = blk.reshape(len(rows_src[(t, f)]), NC)
+                own_blk = F[:, t * NC : (t + 1) * NC][rows_own[(t, f)]]
                 blk = jnp.where(masks[(t, f)], own_blk, blk)
-                out = out.at[(rows_dst[(t, f)],) + lidx].set(blk)
-        out = out.reshape(C * d.ftpp, E)
+                # rows are (C, nfp); need (C, ftpp) with face f block filled
+                blk = blk.reshape(C, ex.n_fp, NC)
+                pad = jnp.zeros((C, d.ftpp, NC), blk.dtype)
+                pad = pad.at[:, f * ex.n_fp : (f + 1) * ex.n_fp].set(blk)
+                face_blocks.append(pad)
+            cls_blocks.append(sum(face_blocks).reshape(C * d.ftpp, NC))
+        out = jnp.concatenate(cls_blocks, axis=1)  # (C*ftpp, E)
         if E_pad != E:
             out = jnp.pad(out, ((0, 0), (0, E_pad - E)))
         return out
@@ -140,20 +173,42 @@ class LaneMajorRunner:
         self.dtype = p.Ginv.dtype
         self.dt = jnp.asarray(dt, self.dtype)
 
+        # class-major element reordering: contiguous class lane slices
+        old_of_new, new_of_old = class_major_perm(ex, E)
+        self._old_of_new = old_of_new
+        self._new_of_old = new_of_old
+        import dataclasses as _dc
+
+        def permute_cols(arr):
+            a = np.asarray(arr)
+            return jnp.asarray(a[:, old_of_new], a.dtype)
+
+        self.d = d = _dc.replace(
+            d,
+            ginv=permute_cols(d.ginv),
+            nrm=permute_cols(d.nrm),
+            fsc=permute_cols(d.fsc),
+            beta=permute_cols(d.beta),
+            delta=permute_cols(d.delta),
+            irho=permute_cols(d.irho),
+            lam=permute_cols(d.lam),
+            mu=permute_cols(d.mu),
+        )
+
         self.ex_u = make_exchange_lm(ex, d, d.dim, E, E_pad)
         self.ex_s = make_exchange_lm(ex, d, d.n_sig, E, E_pad)
 
-        # tiled damping rows
+        # tiled damping rows (permuted to new order)
         if damp is not None:
             dn = np.zeros((d.npp, E), dtype=np.float32)
-            dn[: d.n_p] = np.asarray(damp).T
+            dn[: d.n_p] = np.asarray(damp)[old_of_new].T
             dn = np.pad(dn, ((0, 0), (0, E_pad - E)))
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
             self.damp_s = jnp.asarray(np.tile(dn, (d.n_sig, 1)), self.dtype)
         else:
             self.damp_u = self.damp_s = None
 
-        # lane-major source vectors
+        # lane-major source vectors (elems remapped to new order)
         if src is not None:
             K = src.elems.shape[0]
             vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
@@ -164,28 +219,38 @@ class LaneMajorRunner:
             for c in range(d.n_sig):
                 vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                     src.vec_s[:, :, c]).T
-            self.src_elems = src.elems
+            self.src_elems = jnp.asarray(
+                new_of_old[np.asarray(src.elems)], jnp.int32)
             self.src_vu = jnp.asarray(vu, self.dtype)
             self.src_vs = jnp.asarray(vs, self.dtype)
             self.src_f0, self.src_t0, self.src_amp = src.f0, src.t0, src.amp
         else:
             self.src_elems = None
 
-        self.rcv = receivers
+        if receivers is not None:
+            self.rcv = ReceiverData(
+                elems=jnp.asarray(
+                    new_of_old[np.asarray(receivers.elems)], jnp.int32),
+                weights=receivers.weights,
+            )
+        else:
+            self.rcv = None
 
-    # --- state conversion ---
+    # --- state conversion (includes the class-major permutation) ---
     def to_lm_state(self, state: State):
         d = self.d
+        perm = jnp.asarray(self._old_of_new)
         return (
-            to_lm(state.u, d.npp, self.E_pad),
-            to_lm(state.s, d.npp, self.E_pad),
+            to_lm(state.u[perm], d.npp, self.E_pad),
+            to_lm(state.s[perm], d.npp, self.E_pad),
         )
 
     def from_lm_state(self, ulm, slm) -> State:
         d = self.d
+        inv = jnp.asarray(self._new_of_old)
         return State(
-            u=from_lm(ulm, d.n_p, d.npp, d.dim, self.E),
-            s=from_lm(slm, d.n_p, d.npp, d.n_sig, self.E),
+            u=from_lm(ulm, d.n_p, d.npp, d.dim, self.E)[inv],
+            s=from_lm(slm, d.n_p, d.npp, d.n_sig, self.E)[inv],
         )
 
     # --- step pieces ---
@@ -238,21 +303,36 @@ class LaneMajorRunner:
         g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
         return jnp.einsum("ri,cir->rc", self.rcv.weights, g3)
 
+    def _go(self):
+        # One jitted closure per runner instance (cached), so repeated run()
+        # calls never re-trace; n_steps is a static argument.
+        if not hasattr(self, "_go_fn"):
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def go(ulm, slm, n):
+                def body(carry, k):
+                    carry = self.step(carry, k.astype(self.dtype) * self.dt)
+                    ys = (
+                        self._sample(carry[0])
+                        if self.rcv is not None
+                        else None
+                    )
+                    return carry, ys
+
+                (ulm, slm), seis = jax.lax.scan(
+                    body, (ulm, slm), jnp.arange(n))
+                return ulm, slm, seis
+
+            self._go_fn = go
+        return self._go_fn
+
     def run(self, state0: State, n_steps: int):
         """Jitted lane-major scan; returns (final State, seismograms)."""
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def go(ulm, slm, n):
-            def body(carry, k):
-                carry = self.step(carry, k.astype(self.dtype) * self.dt)
-                ys = self._sample(carry[0]) if self.rcv is not None else None
-                return carry, ys
-
-            (ulm, slm), seis = jax.lax.scan(
-                body, (ulm, slm), jnp.arange(n))
-            return ulm, slm, seis
-
         ulm, slm = self.to_lm_state(state0)
-        ulm, slm, seis = go(ulm, slm, n_steps)
+        ulm, slm, seis = self._go()(ulm, slm, n_steps)
         return self.from_lm_state(ulm, slm), (
             None if seis is None else np.asarray(seis))
+
+    def run_lm(self, ulm, slm, n_steps: int):
+        """Same but staying in lane-major layout (no conversions)."""
+        return self._go()(ulm, slm, n_steps)
