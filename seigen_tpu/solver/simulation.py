@@ -31,7 +31,7 @@ class SimConfig:
     order: int = 4  # LF2 | LF4
     cfl: float = 0.4
     dtype: str = "float32"
-    impl: str = "auto"  # auto | einsum | xla_roll | pallas | pallas_roll
+    impl: str = "auto"  # auto | einsum | xla_roll | pallas | pallas_roll | lane
     free_sides: tuple = ()  # ((axis, "lo"|"hi"), ...)
     absorbing_sides: tuple = ()  # rest default to free surface
     sponge_width: float = 0.0
@@ -106,15 +106,24 @@ class ElasticSimulation:
         )
 
         ex = None
-        if impl in ("auto", "xla_roll", "pallas_roll"):
+        if impl in ("auto", "xla_roll", "pallas_roll", "lane"):
             ex = detect_structured(self.dm)
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         if impl == "auto":
             impl = (
-                ("pallas_roll" if ex is not None else "pallas")
+                ("lane" if ex is not None else "pallas")
                 if on_tpu
                 else ("xla_roll" if ex is not None else "einsum")
             )
+        self._impl = impl
+        if impl == "lane":
+            if ex is None:
+                raise ValueError("lane impl requires a structured mesh")
+            self._ex = ex
+            # ops unused in lane mode, but step_fn() still works via them
+            from ..ops.pallas_kernels import make_pallas_ops
+
+            return make_pallas_ops(self.params, exchange=ex)
         if impl == "einsum":
             return apply_vel_op, apply_stress_op
         if impl == "xla_roll":
@@ -151,6 +160,16 @@ class ElasticSimulation:
         """Run to time T; returns (final State, seismograms or None)."""
         n_steps = max(int(np.ceil(T / self.dt)), 1)
         state = state if state is not None else self.zero_state()
+        if getattr(self, "_impl", None) == "lane":
+            from .lane_major import LaneMajorRunner
+
+            if not hasattr(self, "_lane_runner"):
+                self._lane_runner = LaneMajorRunner(
+                    self.params, self._ex, self.dt,
+                    order=self.config.order, src=self.sources,
+                    damp=self.damp, receivers=self.receivers,
+                )
+            return self._lane_runner.run(state, n_steps)
         runner = jax.jit(
             lambda p, st: run(
                 p,
