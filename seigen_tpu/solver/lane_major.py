@@ -113,12 +113,15 @@ def make_exchange_lm(ex: StructuredExchange, d: PallasOpData, C: int,
         for t in range(ex.m) for f in range(ex.n_faces)
     }
 
+    ftp = ex.n_faces * ex.n_fp
+    pad_rows = d.ftpp - ftp
+
     def exchange(f_lm: jax.Array) -> jax.Array:
         # lanes: (m, NC); per-class slices are contiguous
         F = f_lm[:, :E]
         cls_blocks = []  # per class: (C*ftpp, NC)
         for t in range(ex.m):
-            face_blocks = []
+            face_blocks = []  # each (C, nfp, NC)
             for f in range(ex.n_faces):
                 t2 = int(ex.nbr_class[t, f])
                 blk = F[:, t2 * NC : (t2 + 1) * NC][rows_src[(t, f)]]
@@ -130,12 +133,12 @@ def make_exchange_lm(ex: StructuredExchange, d: PallasOpData, C: int,
                 blk = blk.reshape(len(rows_src[(t, f)]), NC)
                 own_blk = F[:, t * NC : (t + 1) * NC][rows_own[(t, f)]]
                 blk = jnp.where(masks[(t, f)], own_blk, blk)
-                # rows are (C, nfp); need (C, ftpp) with face f block filled
-                blk = blk.reshape(C, ex.n_fp, NC)
-                pad = jnp.zeros((C, d.ftpp, NC), blk.dtype)
-                pad = pad.at[:, f * ex.n_fp : (f + 1) * ex.n_fp].set(blk)
-                face_blocks.append(pad)
-            cls_blocks.append(sum(face_blocks).reshape(C * d.ftpp, NC))
+                face_blocks.append(blk.reshape(C, ex.n_fp, NC))
+            # faces tile the ftp rows contiguously per component
+            cls = jnp.concatenate(face_blocks, axis=1)  # (C, ftp, NC)
+            if pad_rows:
+                cls = jnp.pad(cls, ((0, 0), (0, pad_rows), (0, 0)))
+            cls_blocks.append(cls.reshape(C * d.ftpp, NC))
         out = jnp.concatenate(cls_blocks, axis=1)  # (C*ftpp, E)
         if E_pad != E:
             out = jnp.pad(out, ((0, 0), (0, E_pad - E)))
