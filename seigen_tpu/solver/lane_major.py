@@ -256,67 +256,84 @@ class LaneMajorRunner:
             s=from_lm(slm, d.n_p, d.npp, d.n_sig, self.E)[inv],
         )
 
-    # --- step pieces ---
-    def _vel(self, s_lm):
-        return vel_op_lm(self.d, s_lm, self.ex_s(s_lm), self.block,
+    # --- step pieces (E-sized arrays passed as jit ARGUMENTS: embedding
+    # them as closure constants serializes them into the remote-compile
+    # request, which has a hard size limit) ---
+    def _vel(self, d, s_lm):
+        return vel_op_lm(d, s_lm, self.ex_s(s_lm), self.block,
                          self.interpret)
 
-    def _stress(self, u_lm):
-        return stress_op_lm(self.d, u_lm, self.ex_u(u_lm), self.block,
+    def _stress(self, d, u_lm):
+        return stress_op_lm(d, u_lm, self.ex_u(u_lm), self.block,
                             self.interpret)
 
-    def _inject_u(self, du_lm, t):
+    def _inject_u(self, aux, du_lm, t):
         if self.src_elems is None:
             return du_lm
         r = self.src_amp * ricker(t, self.src_f0, self.src_t0)
         return du_lm.at[:, self.src_elems].add(
-            self.src_vu * r[None, :].astype(self.dtype))
+            aux["src_vu"] * r[None, :].astype(self.dtype))
 
-    def _inject_s(self, ds_lm, t):
+    def _inject_s(self, aux, ds_lm, t):
         if self.src_elems is None:
             return ds_lm
         r = self.src_amp * ricker(t, self.src_f0, self.src_t0)
         return ds_lm.at[:, self.src_elems].add(
-            self.src_vs * r[None, :].astype(self.dtype))
+            aux["src_vs"] * r[None, :].astype(self.dtype))
 
-    def step(self, carry, t):
+    def step_with(self, d, aux, carry, t):
         u, s = carry
-        dt, d = self.dt, self.d
+        dt = self.dt
         c3 = dt**3 / 24.0
-        uh1 = self._inject_u(self._vel(s), t + 0.5 * dt)
+        uh1 = self._inject_u(aux, self._vel(d, s), t + 0.5 * dt)
         if self.order == 4:
-            uh2 = self._vel(self._stress(uh1))
+            uh2 = self._vel(d, self._stress(d, uh1))
             u = u + dt * uh1 + c3 * uh2
         else:
             u = u + dt * uh1
-        sh1 = self._inject_s(self._stress(u), t + dt)
+        sh1 = self._inject_s(aux, self._stress(d, u), t + dt)
         if self.order == 4:
-            sh2 = self._stress(self._vel(sh1))
+            sh2 = self._stress(d, self._vel(d, sh1))
             s = s + dt * sh1 + c3 * sh2
         else:
             s = s + dt * sh1
         if self.damp_u is not None:
-            u = u * self.damp_u
-            s = s * self.damp_s
+            u = u * aux["damp_u"]
+            s = s * aux["damp_s"]
         return (u, s)
 
-    def _sample(self, u_lm):
+    def step(self, carry, t):
+        return self.step_with(self.d, self._aux(), carry, t)
+
+    def _aux(self):
+        aux = {}
+        if self.damp_u is not None:
+            aux["damp_u"], aux["damp_s"] = self.damp_u, self.damp_s
+        if self.src_elems is not None:
+            aux["src_vu"], aux["src_vs"] = self.src_vu, self.src_vs
+        if self.rcv is not None:
+            aux["rcv_w"] = self.rcv.weights
+        return aux
+
+    def _sample(self, aux, u_lm):
         d = self.d
         g = u_lm[:, self.rcv.elems]  # (dim*npp, R)
         g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
-        return jnp.einsum("ri,cir->rc", self.rcv.weights, g3)
+        return jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
 
     def _go(self):
         # One jitted closure per runner instance (cached), so repeated run()
-        # calls never re-trace; n_steps is a static argument.
+        # calls never re-trace; n_steps is a static argument; all E-sized
+        # data flows through arguments (d, aux).
         if not hasattr(self, "_go_fn"):
 
             @functools.partial(jax.jit, static_argnames=("n",))
-            def go(ulm, slm, n):
+            def go(d, aux, ulm, slm, n):
                 def body(carry, k):
-                    carry = self.step(carry, k.astype(self.dtype) * self.dt)
+                    carry = self.step_with(
+                        d, aux, carry, k.astype(self.dtype) * self.dt)
                     ys = (
-                        self._sample(carry[0])
+                        self._sample(aux, carry[0])
                         if self.rcv is not None
                         else None
                     )
@@ -332,10 +349,10 @@ class LaneMajorRunner:
     def run(self, state0: State, n_steps: int):
         """Jitted lane-major scan; returns (final State, seismograms)."""
         ulm, slm = self.to_lm_state(state0)
-        ulm, slm, seis = self._go()(ulm, slm, n_steps)
+        ulm, slm, seis = self._go()(self.d, self._aux(), ulm, slm, n_steps)
         return self.from_lm_state(ulm, slm), (
             None if seis is None else np.asarray(seis))
 
     def run_lm(self, ulm, slm, n_steps: int):
         """Same but staying in lane-major layout (no conversions)."""
-        return self._go()(ulm, slm, n_steps)
+        return self._go()(self.d, self._aux(), ulm, slm, n_steps)
