@@ -1,0 +1,126 @@
+"""Additional coverage: 3D explosive smoke, P4 convergence, resume equality,
+Gmsh v4.1."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seigen_tpu.mesh import box_mesh, build_discrete, rect_mesh
+from seigen_tpu.mesh.gmsh_io import read_msh
+from seigen_tpu.ops import Material, build_params
+from seigen_tpu.solver import (
+    PlaneWave,
+    PointSource,
+    State,
+    absorbing_bc_fn,
+    build_receivers,
+    build_sources,
+    cfl_dt,
+    interpolate,
+    l2_error,
+    line,
+    run,
+    sponge_mask,
+)
+from seigen_tpu.utils import load_checkpoint, save_checkpoint
+
+MAT = Material(rho=1.0, vp=2.0, vs=1.0)
+
+
+def test_explosive_source_3d_smoke():
+    """Config-per-[D] 3D explosive source: runs, stays finite, signal moves."""
+    extents = ((0.0, 1.0),) * 3
+    topo = box_mesh(6, 6, 6)
+    bc_fn = absorbing_bc_fn(extents, free_sides=[(2, "hi")])
+    dm = build_discrete(topo, 1, bc_fn=bc_fn)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0, radius=0.2)],
+        dtype=jnp.float64)
+    rcv = build_receivers(
+        dm, line((0.2, 0.5, 0.9), (0.8, 0.5, 0.9), 4), dtype=jnp.float64)
+    damp = jnp.asarray(sponge_mask(
+        dm, [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi"), (2, "lo")],
+        width=0.25))
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 3)), s=jnp.zeros((E, n_p, 6)))
+    fin, seis = jax.jit(
+        lambda p, st: run(p, st, dt, 80, order=4, src=src, damp=damp,
+                          receivers=rcv))(p, st)
+    assert np.all(np.isfinite(np.asarray(fin.u)))
+    assert np.abs(np.asarray(seis)).max() > 1e-12
+
+
+def test_p4_2d_eigenmode():
+    """Degree-4 spatial path (tables, ops) converges."""
+    pw = PlaneWave(mat=MAT, k=2 * np.pi * np.array([1.0, 0.0]), mode="S")
+    T = 0.25 * pw.period
+    errs = []
+    for N in [2, 4]:
+        dm = build_discrete(rect_mesh(N, N, periodic=(0, 1)), 4)
+        p = build_params(dm, MAT, dtype=jnp.float64)
+        dt = cfl_dt(dm.h.min(), 2.0, 4, 0.4)
+        n_steps = int(np.ceil(T / dt))
+        dt = T / n_steps
+        st = State(
+            u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+            s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt)),
+        )
+        fin, _ = jax.jit(lambda p, st: run(p, st, dt, n_steps, order=4))(p, st)
+        errs.append(l2_error(dm, np.asarray(fin.u), pw.u, n_steps * dt))
+    assert np.log2(errs[0] / errs[1]) > 3.5, errs
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Run 20 steps straight == run 10, checkpoint, resume, run 10."""
+    dm = build_discrete(rect_mesh(8, 8, periodic=(0, 1)), 2)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    pw = PlaneWave(mat=MAT, k=2 * np.pi * np.array([1.0, 1.0]), mode="S")
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.4)
+    st0 = State(
+        u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+        s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt)),
+    )
+    full, _ = jax.jit(lambda p, st: run(p, st, dt, 20, order=4))(p, st0)
+
+    half, _ = jax.jit(lambda p, st: run(p, st, dt, 10, order=4))(p, st0)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, half, 10)
+    loaded, step, _ = load_checkpoint(path)
+    assert step == 10
+    resumed, _ = jax.jit(lambda p, st: run(p, st, dt, 10, order=4))(p, loaded)
+    assert np.array_equal(np.asarray(resumed.u), np.asarray(full.u))
+    assert np.array_equal(np.asarray(resumed.s), np.asarray(full.s))
+
+
+def _write_msh_v41(path, topo):
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n")
+        nv = len(topo.vertices)
+        f.write(f"$Nodes\n1 {nv} 1 {nv}\n")
+        f.write(f"2 1 0 {nv}\n")
+        for k in range(nv):
+            f.write(f"{k+1}\n")
+        for v in topo.vertices:
+            z = v[2] if topo.dim == 3 else 0.0
+            f.write(f"{v[0]} {v[1]} {z}\n")
+        f.write("$EndNodes\n")
+        etype = 2 if topo.dim == 2 else 4
+        ne = len(topo.cells)
+        f.write(f"$Elements\n1 {ne} 1 {ne}\n")
+        f.write(f"2 1 {etype} {ne}\n")
+        for k, c in enumerate(topo.cells):
+            vs = " ".join(str(v + 1) for v in c)
+            f.write(f"{k+1} {vs}\n")
+        f.write("$EndElements\n")
+
+
+def test_msh_v41_roundtrip(tmp_path):
+    topo = rect_mesh(3, 4)
+    path = str(tmp_path / "m41.msh")
+    _write_msh_v41(path, topo)
+    topo2 = read_msh(path)
+    assert topo2.num_cells == topo.num_cells
+    dm = build_discrete(topo2, 2)
+    assert abs(dm.detJ.sum() / 2 - 1.0) < 1e-12
