@@ -1,4 +1,5 @@
 from .partition import Plan, make_plan, morton_order
+from .lane_sharded import ShardedLaneRunner
 from .dist_ops import (
     make_sharded_run,
     run_distributed,
@@ -10,6 +11,7 @@ from .dist_ops import (
 )
 
 __all__ = [
+    "ShardedLaneRunner",
     "Plan",
     "make_plan",
     "morton_order",
