@@ -8,4 +8,16 @@ implemented as batched XLA/Pallas element kernels inside a jitted ``lax.scan``
 time loop, sharded SPMD over TPU meshes with ``shard_map`` halo exchange.
 """
 
+import os as _os
+
 __version__ = "0.1.0"
+
+# Wave propagation accumulates matmul rounding over thousands of steps: the
+# TPU default (bf16-input passes) costs ~8x accuracy on eigenmode errors for
+# ~14% throughput (BENCH_NOTES.md).  Default to full-precision f32 matmuls;
+# override with SEIGEN_TPU_MATMUL_PRECISION=default for maximum speed.
+_prec = _os.environ.get("SEIGEN_TPU_MATMUL_PRECISION", "highest")
+if _prec != "unset":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", _prec)
