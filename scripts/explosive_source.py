@@ -160,17 +160,6 @@ def main():
             min(args.checkpoint_every if args.checkpoint else n_steps,
                 args.vtk_every if pvd else n_steps, n_steps)
         )
-        runner = jax.jit(
-            lambda p, st, n0: run(
-                p, st, dt, chunk, order=args.order, src=src, damp=damp,
-                receivers=rcv,
-            ),
-            static_argnames=(),
-        )
-        # NOTE: run() numbers steps from 0; offset sources by passing t
-        # through the state is not supported in chunked mode yet, so chunked
-        # VTK/checkpoint runs restart the wavelet clock per chunk unless we
-        # use the step fn directly:
         from seigen_tpu.solver.timestep import make_step
         from seigen_tpu.solver.receivers import sample
 
