@@ -8,7 +8,7 @@ vertices (Nv, dim) and cells (E, dim+1) with positively-oriented simplices.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -272,9 +272,10 @@ class ShardedLaneRunner:
                         if s:
                             blk = jnp.roll(blk, -s, axis=2 + ax)
                     slab = blk.reshape(len(rs), G0l, Grest)
-                own_blk = Fv[rows_own[(t, f)], t]
-                mk = mask_v[f, t][None]  # (1, G0l, Grest)
-                slab = jnp.where(mk, own_blk, slab)
+                if ex.self_mask[t, f].any():
+                    own_blk = Fv[rows_own[(t, f)], t]
+                    mk = mask_v[f, t][None]  # (1, G0l, Grest)
+                    slab = jnp.where(mk, own_blk, slab)
                 face_blocks.append(
                     slab.reshape(C, ex.n_fp, G0l * Grest))
             cls = jnp.concatenate(face_blocks, axis=1)  # (C, ftp, NCloc)

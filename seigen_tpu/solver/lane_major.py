@@ -131,8 +131,9 @@ def make_exchange_lm(ex: StructuredExchange, d: PallasOpData, C: int,
                     if s:
                         blk = jnp.roll(blk, -s, axis=1 + ax)
                 blk = blk.reshape(len(rows_src[(t, f)]), NC)
-                own_blk = F[:, t * NC : (t + 1) * NC][rows_own[(t, f)]]
-                blk = jnp.where(masks[(t, f)], own_blk, blk)
+                if ex.self_mask[t, f].any():
+                    own_blk = F[:, t * NC : (t + 1) * NC][rows_own[(t, f)]]
+                    blk = jnp.where(masks[(t, f)], own_blk, blk)
                 face_blocks.append(blk.reshape(C, ex.n_fp, NC))
             # faces tile the ftp rows contiguously per component
             cls = jnp.concatenate(face_blocks, axis=1)  # (C, ftp, NC)

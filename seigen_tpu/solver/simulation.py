@@ -9,7 +9,7 @@ together, with checkpoint/VTK hooks.  All state is explicit; nothing global.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

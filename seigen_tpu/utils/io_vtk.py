@@ -9,15 +9,12 @@ natively.
 
 from __future__ import annotations
 
-import base64
 import os
-import struct
 
 import numpy as np
 
 from ..mesh.discrete import DiscreteMesh
 
-_VTK_CELL = {2: 69, 3: 71}  # Lagrange triangle / tetra (arbitrary order)
 _VTK_CELL_LINEAR = {2: 5, 3: 10}  # triangle / tetra
 
 
