@@ -15,7 +15,8 @@ import sys
 import time
 
 
-def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None):
+def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
+              impl="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -32,8 +33,22 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None):
                     n=n, degree=degree, dtype=dtype, dim=dim
                 )
             with timer.region("run"):
-                res = measure(p, src, damp, dt, state0, n_steps=n_steps,
-                              order=order)
+                impl_used = impl
+                if impl == "auto":
+                    for cand in ("lane", "pallas_roll", "xla_roll",
+                                 "einsum"):
+                        try:
+                            res = measure(p, src, damp, dt, state0,
+                                          n_steps=n_steps, order=order,
+                                          impl=cand, dm=dm)
+                            impl_used = cand
+                            break
+                        except Exception:
+                            continue
+                else:
+                    res = measure(p, src, damp, dt, state0,
+                                  n_steps=n_steps, order=order, impl=impl,
+                                  dm=dm)
             row = {
                 "dim": dim,
                 "degree": degree,
@@ -47,6 +62,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None):
                 "timings": timer.report(),
                 "backend": jax.devices()[0].platform,
                 "dtype": dtype_name,
+                "impl": impl_used,
             }
             rows.append(row)
             print(json.dumps(row))
@@ -66,6 +82,7 @@ def main():
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--impl", type=str, default="auto")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +99,7 @@ def main():
         args.order,
         args.dtype,
         args.out,
+        impl=args.impl,
     )
     return 0
 
