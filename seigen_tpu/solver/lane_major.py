@@ -161,9 +161,11 @@ class LaneMajorRunner:
         src: SourceData | None = None,
         damp: jax.Array | None = None,
         receivers: ReceiverData | None = None,
+        record_pressure: bool = False,
         block: int = DEFAULT_BLOCK,
         interpret: bool = False,
     ):
+        self.record_pressure = record_pressure
         d = build_pallas_data(p)
         self.d = d
         self.p = p
@@ -316,11 +318,18 @@ class LaneMajorRunner:
             aux["rcv_w"] = self.rcv.weights
         return aux
 
-    def _sample(self, aux, u_lm):
+    def _sample(self, aux, u_lm, s_lm=None):
         d = self.d
         g = u_lm[:, self.rcv.elems]  # (dim*npp, R)
         g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
-        return jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
+        rec = jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
+        if self.record_pressure and s_lm is not None:
+            gs = s_lm[:, self.rcv.elems].reshape(d.n_sig, d.npp, -1)
+            # pressure = -tr(sigma)/dim: first `dim` Voigt components
+            pr = -jnp.mean(gs[: d.dim, : d.n_p], axis=0)
+            rec_p = jnp.einsum("ri,ir->r", aux["rcv_w"], pr)[:, None]
+            rec = jnp.concatenate([rec, rec_p], axis=-1)
+        return rec
 
     def _go(self):
         # One jitted closure per runner instance (cached), so repeated run()
@@ -334,7 +343,7 @@ class LaneMajorRunner:
                     carry = self.step_with(
                         d, aux, carry, k.astype(self.dtype) * self.dt)
                     ys = (
-                        self._sample(aux, carry[0])
+                        self._sample(aux, carry[0], carry[1])
                         if self.rcv is not None
                         else None
                     )
