@@ -166,8 +166,11 @@ def run_jit(p, state0, dt, n_steps, order=4, src=None, damp=None,
 def cfl_dt(h_min: float, vp_max: float, degree: int, cfl: float = 0.5) -> float:
     """Stability-bound timestep dt = cfl * h_min / (vp_max * (2q + 1)).
 
-    The reference's exact constant is unrecoverable (SURVEY.md §9.3); this
-    standard DG bound is validated empirically in tests/test_eigenmode.py
-    (runs near the bound stay stable; convergence runs use a margin).
+    The reference's exact constant is unrecoverable (SURVEY.md §9.3); the
+    bound was derived empirically by bisection (results/cfl_study.json):
+    in this normalization LF2 is stable to cfl ~0.75-0.85 and LF4 to
+    ~2.0-2.6 across P1-P4 in 2D/3D.  The default cfl=0.4 used by the tests
+    and CLIs keeps a ~2x (LF2) / ~5x (LF4) margin; production LF4 runs can
+    safely use cfl ~1.0-1.5 for fewer steps.
     """
     return cfl * h_min / (vp_max * (2 * degree + 1))

@@ -163,3 +163,21 @@ def test_energy_conservation_2d():
     # envelope must not decay/grow: compare extremes to the first value
     assert np.all(e_hist > 0)
     assert abs(e_hist[-1] - e_hist[0]) < 0.05 * e_hist[0]
+
+
+@pytest.mark.parametrize("order,cfl", [(2, 0.6), (4, 1.5)])
+def test_cfl_stability_margin(order, cfl):
+    """Empirical stability bound regression (results/cfl_study.json):
+    LF2 is stable to cfl ~0.75-0.85, LF4 to ~2.0-2.6 in the
+    dt = cfl h / (vp (2q+1)) normalization; these points must stay stable."""
+    pw = PlaneWave(mat=MAT, k=2 * np.pi * np.array([1.0, 1.0]), mode="S")
+    dm = build_discrete(rect_mesh(8, 8, periodic=(0, 1)), 2)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, cfl)
+    st = State(
+        u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+        s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt)),
+    )
+    fin, _ = jax.jit(lambda p, st: run(p, st, dt, 400, order=order))(p, st)
+    m = float(np.abs(np.asarray(fin.u)).max())
+    assert np.isfinite(m) and m < 10.0
