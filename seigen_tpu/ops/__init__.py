@@ -1,3 +1,4 @@
+from .upwind import UpwindData, apply_coupled_upwind, build_upwind_data
 from .elastic import (
     ElasticParams,
     Material,
@@ -9,6 +10,9 @@ from .elastic import (
 )
 
 __all__ = [
+    "UpwindData",
+    "apply_coupled_upwind",
+    "build_upwind_data",
     "ElasticParams",
     "Material",
     "apply_stress_op",

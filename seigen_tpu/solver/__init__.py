@@ -3,6 +3,7 @@ from .damping import absorbing_bc_fn, sponge_mask
 from .errors import convergence_order, interpolate, l2_error, l2_norm
 from .receivers import ReceiverData, build_receivers, line, sample
 from .source import PointSource, SourceData, build_sources, ricker
+from .rk4 import make_rk4_step, run_rk4
 from .timestep import State, cfl_dt, make_step, run, run_jit, staggered_init
 
 __all__ = [
@@ -27,4 +28,6 @@ __all__ = [
     "run",
     "run_jit",
     "staggered_init",
+    "make_rk4_step",
+    "run_rk4",
 ]
