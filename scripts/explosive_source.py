@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--scheme", choices=["lf", "upwind-rk4"], default="lf",
+                    help="'lf': staggered leapfrog + central flux (reference "
+                         "parity); 'upwind-rk4': Godunov flux + RK4 "
+                         "(dissipative, optimal odd-degree orders)")
     ap.add_argument("--impl", choices=["einsum", "pallas"], default="einsum",
                     help="operator backend; 'pallas' = fused TPU kernels "
                          "(the rebuild's analog of the reference's tiling "
@@ -163,7 +167,13 @@ def main():
         from seigen_tpu.solver.timestep import make_step
         from seigen_tpu.solver.receivers import sample
 
-        if args.impl == "pallas":
+        if args.scheme == "upwind-rk4":
+            from seigen_tpu.ops.upwind import build_upwind_data
+            from seigen_tpu.solver.rk4 import make_rk4_step
+
+            wdata = build_upwind_data(dm, mat, dtype=dtype)
+            step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
+        elif args.impl == "pallas":
             from seigen_tpu.ops.pallas_kernels import make_pallas_ops
 
             v_op, s_op = make_pallas_ops(p)
