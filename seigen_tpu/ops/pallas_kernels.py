@@ -52,8 +52,8 @@ def _rup(x, m=8):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dr", "lift", "rmat", "ginv", "nrm", "fsc", "beta", "delta",
-                 "irho", "lam", "mu"],
+    data_fields=["dr", "lift", "rmat", "drr", "ginv", "nrm", "fsc", "beta",
+                 "delta", "irho", "lam", "mu"],
     meta_fields=["dim", "n_p", "npp", "ftp", "ftpp", "n_sig", "E"],
 )
 @dataclass(frozen=True)
@@ -63,6 +63,9 @@ class PallasOpData:
     dr: jax.Array  # (dim*npp, npp) stacked derivative matrices
     lift: jax.Array  # (npp, ftpp)
     rmat: jax.Array  # (ftpp, npp) own-trace restriction
+    drr: jax.Array  # (dim*npp + ftpp, npp): [dr; rmat] — one matmul per
+    # component covers all derivatives AND the own-face trace (wider M dim
+    # for better MXU utilization)
     ginv: jax.Array  # (dim*dim, E) rows r*dim+d
     nrm: jax.Array  # (dim*ftpp, E) face-node-expanded normals
     fsc: jax.Array  # (ftpp, E) face-node-expanded Fscale
@@ -125,6 +128,7 @@ def build_pallas_data(p: ElasticParams) -> PallasOpData:
         dr=jnp.asarray(Dr, dt),
         lift=jnp.asarray(LIFT, dt),
         rmat=jnp.asarray(R, dt),
+        drr=jnp.asarray(np.concatenate([Dr, R], axis=0), dt),
         ginv=jnp.asarray(
             np.asarray(p.Ginv).transpose(1, 2, 0).reshape(dim * dim, E), dt),
         nrm=jnp.asarray(nrm, dt),
@@ -180,16 +184,18 @@ def _dot(a, b):
 
 def _vel_kernel(dim, n_sig, npp, ftpp,
                 sig_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, beta_ref,
-                irho_ref, dr_ref, lift_ref, rmat_ref, out_ref):
+                irho_ref, drr_ref, lift_ref, out_ref):
     V = voigt_map(dim)
-    # derivatives + own traces per Voigt component
+    # one combined [derivatives; own-trace] matmul per Voigt component
+    # (drr_ref = [Dr-stack; RMAT]: wider M dim, better MXU utilization)
     der = [[None] * n_sig for _ in range(dim)]
     own = [None] * n_sig
     for c in range(n_sig):
         Xc = sig_ref[c * npp : (c + 1) * npp, :]  # (npp, B)
+        combo = _dot(drr_ref[:], Xc)
         for r in range(dim):
-            der[r][c] = _dot(dr_ref[r * npp : (r + 1) * npp, :], Xc)
-        own[c] = _dot(rmat_ref[:], Xc)  # (ftpp, B)
+            der[r][c] = combo[r * npp : (r + 1) * npp, :]
+        own[c] = combo[dim * npp :, :]  # (ftpp, B)
 
     # physical divergence rows per velocity component
     irho = irho_ref[0:1, :]  # (1, B)
@@ -217,16 +223,17 @@ def _vel_kernel(dim, n_sig, npp, ftpp,
 
 def _stress_kernel(dim, n_sig, npp, ftpp,
                    u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
-                   lam_ref, mu_ref, dr_ref, lift_ref, rmat_ref, out_ref):
-    # derivatives + traces per velocity component
+                   lam_ref, mu_ref, drr_ref, lift_ref, out_ref):
+    # combined [derivatives; own-trace] matmul per velocity component
     der = [[None] * dim for _ in range(dim)]
     own = [None] * dim
     nbr = [None] * dim
     for c in range(dim):
         Xc = u_ref[c * npp : (c + 1) * npp, :]
+        combo = _dot(drr_ref[:], Xc)
         for r in range(dim):
-            der[r][c] = _dot(dr_ref[r * npp : (r + 1) * npp, :], Xc)
-        own[c] = _dot(rmat_ref[:], Xc)
+            der[r][c] = combo[r * npp : (r + 1) * npp, :]
+        own[c] = combo[dim * npp :, :]
         nbr[c] = tr_ref[c * ftpp : (c + 1) * ftpp, :]
 
     lam = lam_ref[0:1, :]
@@ -347,12 +354,11 @@ def vel_op_lm(d: PallasOpData, sig_lm: jax.Array, tr_lm: jax.Array,
             block,
             [sig_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
         )
-        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
-           _table_spec(d.rmat.shape)],
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
         out_specs=pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sig_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+    )(sig_lm, tr_lm, *geo, d.drr, d.lift)
 
 
 def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
@@ -388,12 +394,11 @@ def stress_op_lm(d: PallasOpData, u_lm: jax.Array, tr_lm: jax.Array,
             block,
             [u_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
         )
-        + [_table_spec(d.dr.shape), _table_spec(d.lift.shape),
-           _table_spec(d.rmat.shape)],
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
         out_specs=pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(u_lm, tr_lm, *geo, d.dr, d.lift, d.rmat)
+    )(u_lm, tr_lm, *geo, d.drr, d.lift)
 
 
 def _stress_apply(d: PallasOpData, p: ElasticParams, u: jax.Array,

@@ -362,7 +362,7 @@ class ShardedLaneRunner:
 
         d_specs = _dc.replace(
             d,
-            dr=P(), lift=P(), rmat=P(),
+            dr=P(), lift=P(), rmat=P(), drr=P(),
             ginv=P(None, AXIS), nrm=P(None, AXIS), fsc=P(None, AXIS),
             beta=P(None, AXIS), delta=P(None, AXIS), irho=P(None, AXIS),
             lam=P(None, AXIS), mu=P(None, AXIS),
