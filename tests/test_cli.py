@@ -1,0 +1,54 @@
+"""End-to-end CLI tests (the reference's problem scripts are its user
+interface; these run them exactly as a user would)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+
+def run_cli(args, timeout=300):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_eigenmode2d_cli(tmp_path):
+    out = str(tmp_path / "eig.json")
+    r = run_cli(["scripts/eigenmode2d.py", "--degree", "2",
+                 "--sizes", "4,8", "--f64", "--cpu",
+                 "--min-order", "2.5", "--json", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    data = json.load(open(out))
+    assert data["observed_order"] > 2.5
+
+
+def test_explosive_source_cli_sharded(tmp_path):
+    """--shards path end-to-end on fake devices (config 5 CLI surface)."""
+    out = str(tmp_path / "seis.npz")
+    r = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                 "--degree", "1", "--T", "0.1", "--cpu", "--shards", "4",
+                 "--out", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    z = np.load(out)
+    assert np.all(np.isfinite(z["seismograms"]))
+
+
+def test_explosive_source_cli_resume(tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    r1 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                  "--degree", "1", "--T", "0.05", "--cpu",
+                  "--checkpoint", ck])
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    r2 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                  "--degree", "1", "--T", "0.1", "--cpu",
+                  "--resume", ck])
+    assert r2.returncode == 0, r2.stdout + r2.stderr
