@@ -263,10 +263,19 @@ def build_discrete(
             )
         bc[be, bf] = codes
 
-    # sanity: verify paired nodes coincide geometrically (periodic-shifted)
+    # sanity: verify paired nodes coincide geometrically (periodic-shifted).
+    # Sampled on large meshes — the full check is O(100 s) at E~100k from
+    # giant fancy-index gathers, and the pairing logic is test-covered.
     flat_coords = coords.reshape(E * n_p, dim)
-    own_pts = flat_coords[own.reshape(-1)]
-    nbr_pts = flat_coords[nbr.reshape(-1)]
+    own_flat = own.reshape(-1)
+    nbr_flat = nbr.reshape(-1)
+    if own_flat.size > 1_000_000:
+        rng = np.random.default_rng(0)
+        sel = rng.choice(own_flat.size, size=200_000, replace=False)
+        own_flat = own_flat[sel]
+        nbr_flat = nbr_flat[sel]
+    own_pts = flat_coords[own_flat]
+    nbr_pts = flat_coords[nbr_flat]
     diff = own_pts - nbr_pts
     for ax in range(dim):
         if ax in topo.periodic:

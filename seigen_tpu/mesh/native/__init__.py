@@ -66,6 +66,17 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.decode_partners.restype = None
+        lib.decode_partners.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.argsort_u64.restype = None
         lib.argsort_u64.argtypes = [
             ctypes.POINTER(ctypes.c_uint64),
@@ -94,6 +105,27 @@ def pair_face_nodes(keys: np.ndarray) -> tuple[np.ndarray, int]:
         partner.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return partner, int(mult)
+
+
+def decode_partners(partner: np.ndarray, nf: int, nfp: int, n_p: int,
+                    fnodes_flat: np.ndarray):
+    """partner (N,) -> (nbr int32 (N,), selfpair bool (N,)) in one C pass."""
+    lib = _load()
+    assert lib is not None
+    partner = np.ascontiguousarray(partner, dtype=np.int64)
+    fn = np.ascontiguousarray(fnodes_flat, dtype=np.int64)
+    N = len(partner)
+    nbr = np.empty(N, dtype=np.int32)
+    sp = np.empty(N, dtype=np.uint8)
+    lib.decode_partners(
+        partner.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(N), ctypes.c_int32(nf), ctypes.c_int32(nfp),
+        ctypes.c_int32(n_p),
+        fn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nbr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return nbr, sp.astype(bool)
 
 
 def morton_argsort(q: np.ndarray, bits: int = 16) -> np.ndarray:

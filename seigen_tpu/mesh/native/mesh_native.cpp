@@ -88,3 +88,24 @@ void argsort_u64(const uint64_t* codes, int64_t n, int64_t* perm_out) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Decode partner slots into neighbour node ids + boundary flags in one pass.
+// partner: (E*nf*nfp,) slot ids; fnodes: (nf*nfp,) local node ids
+// nbr_out[i] = (partner[i] / (nf*nfp)) * n_p + fnodes[partner[i] % (nf*nfp)]
+// self_out[face] = all slots of the face map to themselves (boundary).
+void decode_partners(const int64_t* partner, int64_t n_rows, int32_t nf,
+                     int32_t nfp, int32_t n_p, const int64_t* fnodes,
+                     int32_t* nbr_out, uint8_t* selfpair_out) {
+  const int64_t per_elem = static_cast<int64_t>(nf) * nfp;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const int64_t p = partner[i];
+    const int64_t e = p / per_elem;
+    const int64_t slot = p % per_elem;
+    nbr_out[i] = static_cast<int32_t>(e * n_p + fnodes[slot]);
+    selfpair_out[i] = (p == i) ? 1 : 0;
+  }
+}
+
+}  // extern "C"
