@@ -42,8 +42,14 @@ class PointSource:
     f0: float  # Ricker peak frequency
     t0: float | None = None  # delay; default 1.2/f0 (quasi-zero onset)
     amplitude: float = 1.0
-    kind: str = "explosive"  # "explosive" (stress trace) | "force" (velocity)
+    # "explosive": isotropic moment into the stress trace;
+    # "force": directed body force (velocity equation);
+    # "moment": general moment tensor (Voigt) into the stress equation —
+    #           double-couple / CMT-style sources; explosive == moment with
+    #           M = I.
+    kind: str = "explosive"
     direction: tuple | None = None  # for kind="force"
+    moment: tuple | None = None  # Voigt M for kind="moment"
     radius: float | None = None  # Gaussian mollification stddev
 
     @property
@@ -136,6 +142,12 @@ def build_sources(
         if s.kind == "explosive":
             # isotropic moment: inject into the stress trace (s_xx, s_yy[, s_zz])
             vec_s[k, :, :dim] = base[k][:, None]
+        elif s.kind == "moment":
+            M = np.asarray(s.moment, dtype=np.float64)
+            if M.shape != (n_sig,):
+                raise ValueError(
+                    f"moment must be Voigt ({n_sig},), got {M.shape}")
+            vec_s[k] = base[k][:, None] * M[None, :]
         elif s.kind == "force":
             if mat is None:
                 raise ValueError("force sources require the material (rho)")

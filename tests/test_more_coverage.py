@@ -124,3 +124,41 @@ def test_msh_v41_roundtrip(tmp_path):
     assert topo2.num_cells == topo.num_cells
     dm = build_discrete(topo2, 2)
     assert abs(dm.detJ.sum() / 2 - 1.0) < 1e-12
+
+
+def test_moment_tensor_source_double_couple():
+    """kind='moment' with a double-couple M radiates the classic 4-lobe
+    S-dominant pattern: velocity nodal along the fault axes, maximal at 45
+    degrees; also moment=[1,1,0(*)] must equal kind='explosive'."""
+    dm = build_discrete(rect_mesh(24, 24, periodic=(0, 1)), 2)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+
+    def run_src(ps):
+        s = build_sources(dm, [ps], dtype=jnp.float64)
+        fin, _ = jax.jit(
+            lambda p, st: run(p, st, dt, 60, order=4, src=s))(p, st)
+        return np.asarray(fin.u)
+
+    # equivalence: explosive == isotropic moment
+    u_exp = run_src(PointSource(position=(0.5, 0.5), f0=8.0, radius=0.06))
+    u_iso = run_src(PointSource(position=(0.5, 0.5), f0=8.0, radius=0.06,
+                                kind="moment", moment=(1.0, 1.0, 0.0)))
+    assert np.allclose(u_exp, u_iso, atol=1e-14)
+
+    # double couple M = [[0,1],[1,0]] -> Voigt (0, 0, 1)
+    u_dc = run_src(PointSource(position=(0.5, 0.5), f0=8.0, radius=0.06,
+                               kind="moment", moment=(0.0, 0.0, 1.0)))
+    cent = dm.coords.mean(axis=1) - 0.5
+    r = np.linalg.norm(cent, axis=1)
+    ring = (r > 0.2) & (r < 0.3)
+    theta = np.arctan2(cent[:, 1], cent[:, 0])
+    amp = np.abs(u_dc).max(axis=(1, 2))
+    # P radiation of a double couple ~ |sin 2 theta|: lobes at 45 deg,
+    # nodes on the axes
+    on_axis = ring & (np.abs(np.sin(2 * theta)) < 0.2)
+    on_lobe = ring & (np.abs(np.sin(2 * theta)) > 0.9)
+    assert amp[on_lobe].mean() > 2.0 * amp[on_axis].mean(), (
+        amp[on_lobe].mean(), amp[on_axis].mean())
