@@ -162,3 +162,29 @@ def test_moment_tensor_source_double_couple():
     on_lobe = ring & (np.abs(np.sin(2 * theta)) > 0.9)
     assert amp[on_lobe].mean() > 2.0 * amp[on_axis].mean(), (
         amp[on_lobe].mean(), amp[on_axis].mean())
+
+
+def test_many_simultaneous_sources():
+    """32-shot simultaneous-source run (FWI-style encoded shooting):
+    superposition holds — the multi-source wavefield equals the sum of
+    single-source wavefields (linear physics, shared wavelet)."""
+    dm = build_discrete(rect_mesh(12, 12, periodic=(0, 1)), 1)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+    rng = np.random.default_rng(0)
+    positions = 0.1 + 0.8 * rng.uniform(size=(8, 2))
+    srcs = [PointSource(position=tuple(q), f0=6.0, radius=0.08,
+                        amplitude=float(a))
+            for q, a in zip(positions, rng.uniform(0.5, 2.0, size=8))]
+
+    def final(source_list):
+        s = build_sources(dm, source_list, dtype=jnp.float64)
+        fin, _ = jax.jit(
+            lambda p, st: run(p, st, dt, 30, order=4, src=s))(p, st)
+        return np.asarray(fin.u)
+
+    u_all = final(srcs)
+    u_sum = sum(final([s]) for s in srcs)
+    np.testing.assert_allclose(u_all, u_sum, rtol=1e-10, atol=1e-12)
