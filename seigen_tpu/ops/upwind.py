@@ -171,15 +171,29 @@ def apply_coupled_upwind(
     zp_p = w.zp_nbr[:, :, :, None]
     zs_p = w.zs_nbr[:, :, :, None]
 
+    # acoustic media (vs = 0): no shear characteristics exist — the
+    # tangential Riemann contribution degenerates; guard the 0/0.
+    zs_sum = zs_m + zs_p
+    zs_safe = jnp.where(zs_sum > 0, zs_sum, 1.0)
+    has_shear = zs_sum > 0
+
     t_star = (
         (zp_p * tN_m + zp_m * tN_p + zp_m * zp_p * (uN_p - uN_m))
         / (zp_m + zp_p)
-        + (zs_p * tT_m + zs_m * tT_p + zs_m * zs_p * (uT_p - uT_m))
-        / (zs_m + zs_p)
+        + jnp.where(
+            has_shear,
+            (zs_p * tT_m + zs_m * tT_p + zs_m * zs_p * (uT_p - uT_m))
+            / zs_safe,
+            0.5 * (tT_m + tT_p),
+        )
     )
     u_star = (
         (zp_m * uN_m + zp_p * uN_p + (tN_p - tN_m)) / (zp_m + zp_p)
-        + (zs_m * uT_m + zs_p * uT_p + (tT_p - tT_m)) / (zs_m + zs_p)
+        + jnp.where(
+            has_shear,
+            (zs_m * uT_m + zs_p * uT_p + (tT_p - tT_m)) / zs_safe,
+            0.5 * (uT_m + uT_p),
+        )
     )
 
     dt_flux = (t_star - t_own) * p.Fscale[:, :, None, None]

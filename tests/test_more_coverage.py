@@ -188,3 +188,36 @@ def test_many_simultaneous_sources():
     u_all = final(srcs)
     u_sum = sum(final([s]) for s in srcs)
     np.testing.assert_allclose(u_all, u_sum, rtol=1e-10, atol=1e-12)
+
+
+def test_acoustic_medium_mu_zero():
+    """Acoustic limit (vs=0, marine case): P eigenmode propagates correctly
+    through both the central/leapfrog and upwind/RK4 paths."""
+    from seigen_tpu.ops.upwind import build_upwind_data
+    from seigen_tpu.solver.rk4 import run_rk4
+
+    mat = Material(rho=1.0, vp=1.5, vs=0.0)
+    pw = PlaneWave(mat=mat, k=2 * np.pi * np.array([1.0, 0.0]), mode="P")
+    T = 0.5 * pw.period
+    dm = build_discrete(rect_mesh(12, 12, periodic=(0, 1)), 2)
+    p = build_params(dm, mat, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 1.5, 2, 0.4)
+    n_steps = int(np.ceil(T / dt))
+    dt = T / n_steps
+    st = State(
+        u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+        s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt)),
+    )
+    fin, _ = jax.jit(lambda p, st: run(p, st, dt, n_steps, order=4))(p, st)
+    err = l2_error(dm, np.asarray(fin.u), pw.u, n_steps * dt)
+    assert err < 5e-3, err
+
+    w = build_upwind_data(dm, mat, dtype=jnp.float64)
+    st0 = State(
+        u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+        s=jnp.asarray(interpolate(dm, pw.sigma, 0.0)),
+    )
+    fin2, _ = jax.jit(
+        lambda p, w, st: run_rk4(p, w, st, dt, n_steps))(p, w, st0)
+    err2 = l2_error(dm, np.asarray(fin2.u), pw.u, n_steps * dt)
+    assert np.isfinite(err2) and err2 < 5e-3, err2
