@@ -59,6 +59,15 @@ def main():
                          "variant, tests/tiling)")
     args = ap.parse_args()
 
+    if args.shards and args.cpu:
+        # provision virtual CPU devices before the backend initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.shards}"
+            ).strip()
+
     import jax
 
     if args.cpu:
@@ -153,7 +162,7 @@ def main():
             fin, seis, _ = run_distributed(
                 dm, mat, st, dt, n_steps - step0, n_devices=args.shards,
                 order=args.order, sources=src, damp=damp, receivers=rcv,
-                dtype=dtype,
+                dtype=dtype, step0=step0,
             )
             seis_chunks.append(seis)
         st = fin

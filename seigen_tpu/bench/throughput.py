@@ -174,14 +174,18 @@ def main(n: int = 24, degree: int = 3, n_steps: int = 50,
     if impl == "auto":
         # best-known path on TPU; robust fallback if the pallas/roll path
         # regresses on a new runtime
+        errors = {}
+        res = None
         for candidate in ("lane", "pallas_roll", "xla_roll", "einsum"):
             try:
                 res = measure(p, src, damp, dt, state0, n_steps=n_steps,
                               impl=candidate, dm=dm)
                 impl = candidate
                 break
-            except Exception:
-                continue
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errors[candidate] = repr(e)
+        if res is None:
+            raise RuntimeError(f"every backend candidate failed: {errors}")
     else:
         res = measure(p, src, damp, dt, state0, n_steps=n_steps, impl=impl,
                       dm=dm)

@@ -83,13 +83,21 @@ class PallasOpData:
     E: int
 
 
-_OPDATA_CACHE: dict[int, PallasOpData] = {}
+# Keyed by id(p) BUT validated by a weakref to the exact params object:
+# a plain id-keyed dict can silently serve stale tables when a params
+# object is garbage-collected and a new one reuses its address (common in
+# sweep loops).  The weakref callback evicts dead entries; the identity
+# check rejects id-reuse.
+_OPDATA_CACHE: dict[int, tuple] = {}
 
 
 def build_pallas_data(p: ElasticParams) -> PallasOpData:
+    import weakref
+
     key = id(p)
-    if key in _OPDATA_CACHE:
-        return _OPDATA_CACHE[key]
+    hit = _OPDATA_CACHE.get(key)
+    if hit is not None and hit[0]() is p:
+        return hit[1]
     dim, n_p = p.dim, p.n_p
     npp = _rup(n_p)
     ftp = p.n_faces * p.n_fp
@@ -146,7 +154,10 @@ def build_pallas_data(p: ElasticParams) -> PallasOpData:
         n_sig=p.n_sig,
         E=E,
     )
-    _OPDATA_CACHE[key] = data
+    _OPDATA_CACHE[key] = (
+        weakref.ref(p, lambda _, k=key: _OPDATA_CACHE.pop(k, None)),
+        data,
+    )
     return data
 
 

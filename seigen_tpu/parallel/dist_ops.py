@@ -30,7 +30,7 @@ from ..ops.elastic import (
 )
 from ..solver.receivers import ReceiverData
 from ..solver.source import SourceData, ricker
-from ..solver.timestep import State
+from ..solver.timestep import State, compose_lf_step, damp_post
 from .partition import Plan, make_plan
 
 AXIS = "x"
@@ -166,6 +166,7 @@ def make_sharded_run(
     damp: jax.Array | None = None,
     receivers: ReceiverData | None = None,
     devices=None,
+    step0: int = 0,
 ):
     """Build (mesh, jitted_run) where jitted_run(params, state, send_idx,
     ...) -> (final_state, seismograms).
@@ -173,55 +174,47 @@ def make_sharded_run(
     All arguments with a leading element axis must already be shard-layout
     (see shard_params/shard_state); the function places them via
     NamedSharding and runs the whole scan inside one shard_map.
+
+    ``step0``: global index of the first step — resumed runs must continue
+    physical time at step0*dt so time-dependent sources stay in phase.
     """
     devices = devices if devices is not None else jax.devices()[: plan.n_shards]
     assert len(devices) == plan.n_shards
     mesh = Mesh(np.array(devices), (AXIS,))
     dtype = params.Ginv.dtype
     dt_ = jnp.asarray(dt, dtype=dtype)
-    c3 = dt_**3 / 24.0
 
     send_idx = jnp.asarray(plan.send_idx)  # (P, K, H)
 
     def sharded_body(p, st, send_idx_l, src_l, damp_l, rcv_l):
         n_sig = p.n_sig
 
-        def vel_op(pp, s_field):
+        def vel(s_field):
             pool = _halo_pool(s_field.reshape(-1, n_sig), send_idx_l, plan)
-            return apply_vel_op(pp, s_field, pool=pool)
+            return apply_vel_op(p, s_field, pool=pool)
 
-        def stress_op(pp, u_field):
-            pool = _halo_pool(u_field.reshape(-1, pp.dim), send_idx_l, plan)
-            return apply_stress_op(pp, u_field, pool=pool)
+        def stress(u_field):
+            pool = _halo_pool(u_field.reshape(-1, p.dim), send_idx_l, plan)
+            return apply_stress_op(p, u_field, pool=pool)
 
-        def step(state, t):
-            u, s = state.u, state.s
-            uh1 = vel_op(p, s)
-            if src_l is not None:
-                r = src_l.amp * ricker(t + 0.5 * dt_, src_l.f0, src_l.t0)
-                uh1 = uh1.at[src_l.elems].add(src_l.vec_u * r[:, None, None])
-            if order == 4:
-                uh2 = vel_op(p, stress_op(p, uh1))
-                u = u + dt_ * uh1 + c3 * uh2
-            else:
-                u = u + dt_ * uh1
-            sh1 = stress_op(p, u)
-            if src_l is not None:
-                r = src_l.amp * ricker(t + dt_, src_l.f0, src_l.t0)
-                sh1 = sh1.at[src_l.elems].add(src_l.vec_s * r[:, None, None])
-            if order == 4:
-                sh2 = stress_op(p, vel_op(p, sh1))
-                s = s + dt_ * sh1 + c3 * sh2
-            else:
-                s = s + dt_ * sh1
-            if damp_l is not None:
-                u = u * damp_l[:, :, None]
-                s = s * damp_l[:, :, None]
-            return State(u=u, s=s)
+        def inject(vecs):
+            if src_l is None:
+                return lambda f, t: f
+            return lambda f, t: f.at[src_l.elems].add(
+                vecs * (src_l.amp * ricker(t, src_l.f0, src_l.t0))
+                [:, None, None])
+
+        step = compose_lf_step(
+            vel=vel, stress=stress,
+            inject_u=inject(None if src_l is None else src_l.vec_u),
+            inject_s=inject(None if src_l is None else src_l.vec_s),
+            post=damp_post(damp_l), dt=dt_, order=order,
+        )
 
         def body(state, n):
-            t = n.astype(dtype) * dt_
-            state = step(state, t)
+            t = (n + step0).astype(dtype) * dt_
+            u, s = step(state.u, state.s, t)
+            state = State(u=u, s=s)
             if rcv_l is not None:
                 vals = state.u[rcv_l.elems]  # (R, n_p, dim)
                 partial = jnp.einsum("ri,ric->rc", rcv_l.weights, vals)
@@ -309,9 +302,11 @@ def run_distributed(
     receivers: ReceiverData | None = None,
     dtype=jnp.float32,
     devices=None,
+    step0: int = 0,
 ):
     """High-level entry: partition, shard, run; returns (final dense-layout
-    State on host, seismograms, plan)."""
+    State on host, seismograms, plan).  ``step0``: first global step index
+    (resume support — keeps time-dependent sources in phase)."""
     devices = devices if devices is not None else jax.devices()
     P_ = n_devices or len(devices)
     plan = make_plan(dm, P_)
@@ -328,7 +323,7 @@ def run_distributed(
     )
     mesh, call = make_sharded_run(
         plan, sp, dt, n_steps, order=order, src=src_s, damp=damp_s,
-        receivers=rcv_s, devices=devices[:P_],
+        receivers=rcv_s, devices=devices[:P_], step0=step0,
     )
     fin, seis = call(st)
     fin_host = State(

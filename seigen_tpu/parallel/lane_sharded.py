@@ -37,7 +37,7 @@ from ..ops.pallas_kernels import (
 )
 from ..ops.structured_exchange import StructuredExchange
 from ..solver.source import ricker
-from ..solver.timestep import State
+from ..solver.timestep import State, compose_lf_step
 
 AXIS = "x"
 
@@ -286,9 +286,6 @@ class ShardedLaneRunner:
         return jnp.concatenate(cls_blocks, axis=1)  # (C*ftpp, E_loc)
 
     def _step_loc(self, d_loc, aux, mask_loc, carry, t):
-        u, s = carry
-        dt = self.dt
-        c3 = dt**3 / 24.0
         blk, itp = self.block, self.interpret
 
         def vel(sf):
@@ -299,29 +296,25 @@ class ShardedLaneRunner:
             tr = self._exchange_loc(uf, mask_loc, "u", self.d.dim)
             return stress_op_lm(d_loc, uf, tr, blk, itp)
 
-        def inj(field, vecs, t_):
+        def inj(vecs):
             if self.src is None:
-                return field
-            r = aux["src_amp"] * ricker(t_, aux["src_f0"], aux["src_t0"])
-            return field.at[:, aux["src_elems"]].add(
-                vecs * r[None, :].astype(self.dtype))
+                return lambda f, t_: f
+            return lambda f, t_: f.at[:, aux["src_elems"]].add(
+                vecs * (aux["src_amp"]
+                        * ricker(t_, aux["src_f0"], aux["src_t0"]))
+                [None, :].astype(self.dtype))
 
-        uh1 = inj(vel(s), aux.get("src_vu"), t + 0.5 * dt)
-        if self.order == 4:
-            uh2 = vel(stress(uh1))
-            u = u + dt * uh1 + c3 * uh2
-        else:
-            u = u + dt * uh1
-        sh1 = inj(stress(u), aux.get("src_vs"), t + dt)
-        if self.order == 4:
-            sh2 = stress(vel(sh1))
-            s = s + dt * sh1 + c3 * sh2
-        else:
-            s = s + dt * sh1
-        if self.damp_u is not None:
-            u = u * aux["damp_u"]
-            s = s * aux["damp_s"]
-        return (u, s)
+        def post(u, s):
+            if self.damp_u is None:
+                return u, s
+            return u * aux["damp_u"], s * aux["damp_s"]
+
+        lf = compose_lf_step(
+            vel=vel, stress=stress,
+            inject_u=inj(aux.get("src_vu")), inject_s=inj(aux.get("src_vs")),
+            post=post, dt=self.dt, order=self.order,
+        )
+        return lf(carry[0], carry[1], t)
 
     # ------------------------------------------------------------------
     def _aux_global(self):
@@ -371,7 +364,7 @@ class ShardedLaneRunner:
         mask_specs = P(None, AXIS)
         aux_specs = self._aux_specs()
 
-        def inner(d_g, aux_g, mask_g, ulm, slm, n):
+        def inner(d_g, aux_g, mask_g, ulm, slm, k0, n):
             # squeeze per-shard leading axes on stacked source/receiver data
             aux = dict(aux_g)
             for k in ("src_elems", "src_vu", "src_vs", "src_f0", "src_t0",
@@ -391,19 +384,20 @@ class ShardedLaneRunner:
                     ys = None
                 return carry, ys
 
-            (ulm, slm), seis = jax.lax.scan(body, (ulm, slm), jnp.arange(n))
+            (ulm, slm), seis = jax.lax.scan(
+                body, (ulm, slm), jnp.arange(n) + k0)
             return ulm, slm, seis
 
-        def go(d_g, aux_g, mask_g, ulm, slm, n):
+        def go(d_g, aux_g, mask_g, ulm, slm, k0, n):
             return jax.shard_map(
                 functools.partial(inner, n=n),
                 mesh=self.mesh,
                 in_specs=(d_specs, aux_specs, mask_specs, st_specs[0],
-                          st_specs[1]),
+                          st_specs[1], P()),
                 out_specs=(st_specs[0], st_specs[1],
                            None if self.rcv is None else P()),
                 check_vma=False,
-            )(d_g, aux_g, mask_g, ulm, slm)
+            )(d_g, aux_g, mask_g, ulm, slm, k0)
 
         self._go_fn = jax.jit(go, static_argnames=("n",))
         return self._go_fn
@@ -433,9 +427,11 @@ class ShardedLaneRunner:
 
         return State(u=conv(ulm, d.dim), s=conv(slm, d.n_sig))
 
-    def run(self, state0: State, n_steps: int):
+    def run(self, state0: State, n_steps: int, step0: int = 0):
+        """``step0``: global first-step index (resume support)."""
         ulm, slm = self.to_lm_state(state0)
         ulm, slm, seis = self._go()(
-            self.d, self._aux_global(), self.self_mask, ulm, slm, n_steps)
+            self.d, self._aux_global(), self.self_mask, ulm, slm,
+            jnp.asarray(step0), n_steps)
         return self.from_lm_state(ulm, slm), (
             None if seis is None else np.asarray(seis))

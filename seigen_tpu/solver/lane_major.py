@@ -33,7 +33,7 @@ from ..ops.pallas_kernels import (
 from ..ops.structured_exchange import StructuredExchange, _class_index
 from .receivers import ReceiverData
 from .source import SourceData, ricker
-from .timestep import State
+from .timestep import State, compose_lf_step
 
 
 def _rup(x, m):
@@ -285,25 +285,19 @@ class LaneMajorRunner:
             aux["src_vs"] * r[None, :].astype(self.dtype))
 
     def step_with(self, d, aux, carry, t):
-        u, s = carry
-        dt = self.dt
-        c3 = dt**3 / 24.0
-        uh1 = self._inject_u(aux, self._vel(d, s), t + 0.5 * dt)
-        if self.order == 4:
-            uh2 = self._vel(d, self._stress(d, uh1))
-            u = u + dt * uh1 + c3 * uh2
-        else:
-            u = u + dt * uh1
-        sh1 = self._inject_s(aux, self._stress(d, u), t + dt)
-        if self.order == 4:
-            sh2 = self._stress(d, self._vel(d, sh1))
-            s = s + dt * sh1 + c3 * sh2
-        else:
-            s = s + dt * sh1
-        if self.damp_u is not None:
-            u = u * aux["damp_u"]
-            s = s * aux["damp_s"]
-        return (u, s)
+        def post(u, s):
+            if self.damp_u is None:
+                return u, s
+            return u * aux["damp_u"], s * aux["damp_s"]
+
+        lf = compose_lf_step(
+            vel=lambda s_lm: self._vel(d, s_lm),
+            stress=lambda u_lm: self._stress(d, u_lm),
+            inject_u=lambda du, t_: self._inject_u(aux, du, t_),
+            inject_s=lambda ds, t_: self._inject_s(aux, ds, t_),
+            post=post, dt=self.dt, order=self.order,
+        )
+        return lf(carry[0], carry[1], t)
 
     def step(self, carry, t):
         return self.step_with(self.d, self._aux(), carry, t)
@@ -338,7 +332,7 @@ class LaneMajorRunner:
         if not hasattr(self, "_go_fn"):
 
             @functools.partial(jax.jit, static_argnames=("n",))
-            def go(d, aux, ulm, slm, n):
+            def go(d, aux, ulm, slm, n, k0):
                 def body(carry, k):
                     carry = self.step_with(
                         d, aux, carry, k.astype(self.dtype) * self.dt)
@@ -350,19 +344,25 @@ class LaneMajorRunner:
                     return carry, ys
 
                 (ulm, slm), seis = jax.lax.scan(
-                    body, (ulm, slm), jnp.arange(n))
+                    body, (ulm, slm), jnp.arange(n) + k0)
                 return ulm, slm, seis
 
             self._go_fn = go
         return self._go_fn
 
-    def run(self, state0: State, n_steps: int):
-        """Jitted lane-major scan; returns (final State, seismograms)."""
+    def run(self, state0: State, n_steps: int, step0: int = 0):
+        """Jitted lane-major scan; returns (final State, seismograms).
+
+        ``step0``: global index of the first step (resume support — keeps
+        time-dependent sources in phase; traced, so no retrace per value).
+        """
         ulm, slm = self.to_lm_state(state0)
-        ulm, slm, seis = self._go()(self.d, self._aux(), ulm, slm, n_steps)
+        ulm, slm, seis = self._go()(
+            self.d, self._aux(), ulm, slm, n_steps, jnp.asarray(step0))
         return self.from_lm_state(ulm, slm), (
             None if seis is None else np.asarray(seis))
 
-    def run_lm(self, ulm, slm, n_steps: int):
+    def run_lm(self, ulm, slm, n_steps: int, step0: int = 0):
         """Same but staying in lane-major layout (no conversions)."""
-        return self._go()(self.d, self._aux(), ulm, slm, n_steps)
+        return self._go()(
+            self.d, self._aux(), ulm, slm, n_steps, jnp.asarray(step0))

@@ -108,7 +108,9 @@ class ElasticSimulation:
         ex = None
         if impl in ("auto", "xla_roll", "pallas_roll", "lane"):
             ex = detect_structured(self.dm)
-        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        # Pallas Mosaic kernels lower only on TPU; any other accelerator
+        # (gpu, ...) must take the XLA paths.
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         if impl == "auto":
             impl = (
                 ("lane" if ex is not None else "pallas")

@@ -42,6 +42,50 @@ class State:
     s: jax.Array  # (E, n_p, n_sig) stress at t = (n + 1/2) dt
 
 
+def compose_lf_step(vel, stress, inject_u, inject_s, post, dt, order: int):
+    """THE LF2/LF4 physics, in exactly one place.
+
+    Every runner (general layout, sharded, lane-major, lane-sharded) builds
+    its own (vel, stress, inject_u, inject_s, post) closures over its own
+    data layout and composes the step here, so a physics change — a new
+    source kind, a new correction term — happens once and propagates to all
+    execution paths.
+
+      vel(s) / stress(u): the discrete operators Mu^-1 Lu / Ms^-1 Ls
+      inject_u(du, t) / inject_s(ds, t): add source terms to a stage RHS
+      post(u, s) -> (u, s): after-update hook (sponge damping)
+      dt: jnp scalar of the run dtype; t passed to step is the START time
+          of the step (u at t, sigma at t + dt/2).
+    """
+    if order not in (2, 4):
+        raise ValueError("order must be 2 or 4 (reference parity: LF2/LF4)")
+    c3 = dt**3 / 24.0
+
+    def step(u, s, t):
+        # --- velocity update: t -> t + dt, using sigma at t + dt/2 ---
+        uh1 = inject_u(vel(s), t + 0.5 * dt)
+        if order == 4:
+            u = u + dt * uh1 + c3 * vel(stress(uh1))
+        else:
+            u = u + dt * uh1
+        # --- stress update: t + dt/2 -> t + 3 dt/2, using u at t + dt ---
+        sh1 = inject_s(stress(u), t + dt)
+        if order == 4:
+            s = s + dt * sh1 + c3 * stress(vel(sh1))
+        else:
+            s = s + dt * sh1
+        return post(u, s)
+
+    return step
+
+
+def damp_post(damp: jax.Array | None):
+    """Standard-layout (E, n_p, C) sponge-damping post hook."""
+    if damp is None:
+        return lambda u, s: (u, s)
+    return lambda u, s: (u * damp[:, :, None], s * damp[:, :, None])
+
+
 def make_step(
     p: ElasticParams,
     dt: float,
@@ -52,32 +96,19 @@ def make_step(
     stress_op=apply_stress_op,
 ):
     """Build the single-timestep function (State, t) -> State."""
-    if order not in (2, 4):
-        raise ValueError("order must be 2 or 4 (reference parity: LF2/LF4)")
     dt = jnp.asarray(dt, dtype=p.Ginv.dtype)
-    c3 = dt**3 / 24.0
+    lf = compose_lf_step(
+        vel=lambda s: vel_op(p, s),
+        stress=lambda u: stress_op(p, u),
+        inject_u=lambda du, t: inject_velocity(src, du, t),
+        inject_s=lambda ds, t: inject_stress(src, ds, t),
+        post=damp_post(damp),
+        dt=dt,
+        order=order,
+    )
 
     def step(state: State, t) -> State:
-        u, s = state.u, state.s
-        # --- velocity update: t -> t + dt, using s at t + dt/2 ---
-        uh1 = vel_op(p, s)
-        uh1 = inject_velocity(src, uh1, t + 0.5 * dt)
-        if order == 4:
-            uh2 = vel_op(p, stress_op(p, uh1))
-            u = u + dt * uh1 + c3 * uh2
-        else:
-            u = u + dt * uh1
-        # --- stress update: t + dt/2 -> t + 3 dt/2, using u at t + dt ---
-        sh1 = stress_op(p, u)
-        sh1 = inject_stress(src, sh1, t + dt)
-        if order == 4:
-            sh2 = stress_op(p, vel_op(p, sh1))
-            s = s + dt * sh1 + c3 * sh2
-        else:
-            s = s + dt * sh1
-        if damp is not None:
-            u = u * damp[:, :, None]
-            s = s * damp[:, :, None]
+        u, s = lf(state.u, state.s, t)
         return State(u=u, s=s)
 
     return step
@@ -123,11 +154,14 @@ def run(
     record_pressure: bool = False,
     vel_op=apply_vel_op,
     stress_op=apply_stress_op,
+    step0: int = 0,
 ):
     """Run n_steps; returns (final State, seismograms or None).
 
     Seismograms: (n_steps, R, dim [+1]) velocity samples (plus pressure
     -tr(sigma)/dim if requested), sampled after each full step.
+    ``step0``: global index of the first step (resume support — keeps
+    time-dependent sources in phase).
     """
     step = make_step(
         p, dt, order=order, src=src, damp=damp, vel_op=vel_op,
@@ -149,7 +183,7 @@ def run(
                 ys = rec_u
         return state, ys
 
-    final, seis = jax.lax.scan(body, state0, jnp.arange(n_steps))
+    final, seis = jax.lax.scan(body, state0, jnp.arange(n_steps) + step0)
     return final, seis
 
 

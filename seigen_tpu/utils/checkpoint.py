@@ -18,7 +18,14 @@ import numpy as np
 from ..solver.timestep import State
 
 
+def _norm(path: str) -> str:
+    # np.savez appends '.npz' when absent; normalize so save/load agree on
+    # the same file for extension-less paths.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, state: State, step: int, meta: dict | None = None):
+    path = _norm(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(
         path,
@@ -30,6 +37,8 @@ def save_checkpoint(path: str, state: State, step: int, meta: dict | None = None
 
 
 def load_checkpoint(path: str, dtype=None) -> tuple[State, int, dict]:
+    if not os.path.exists(path):
+        path = _norm(path)
     with np.load(path, allow_pickle=False) as z:
         u, s = z["u"], z["s"]
         if dtype is not None:

@@ -94,6 +94,49 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert np.array_equal(np.asarray(resumed.s), np.asarray(full.s))
 
 
+def test_checkpoint_extensionless_path(tmp_path):
+    """save_checkpoint('ck') and load_checkpoint('ck') agree on 'ck.npz'."""
+    st = State(u=jnp.ones((2, 3, 2)), s=jnp.zeros((2, 3, 3)))
+    path = str(tmp_path / "ck")  # no .npz
+    save_checkpoint(path, st, 7)
+    loaded, step, _ = load_checkpoint(path)
+    assert step == 7
+    assert np.array_equal(np.asarray(loaded.u), np.asarray(st.u))
+
+
+def test_sharded_resume_equivalence():
+    """Sharded run with a TIME-DEPENDENT source: 12 straight == 6 + resume 6
+    with step0=6 (the Ricker wavelet must stay in phase across the resume)."""
+    from seigen_tpu.parallel import run_distributed
+
+    extents = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        rect_mesh(8, 8),
+        2,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[(1, "hi")]),
+    )
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.7), f0=4.0, radius=0.2)],
+        dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st0 = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+
+    full, _, _ = run_distributed(
+        dm, MAT, st0, dt, 12, n_devices=4, sources=src, dtype=jnp.float64)
+    half, _, _ = run_distributed(
+        dm, MAT, st0, dt, 6, n_devices=4, sources=src, dtype=jnp.float64)
+    resumed, _, _ = run_distributed(
+        dm, MAT, half, dt, 6, n_devices=4, sources=src, dtype=jnp.float64,
+        step0=6)
+    np.testing.assert_allclose(
+        np.asarray(resumed.u), np.asarray(full.u), rtol=1e-12, atol=1e-14)
+    # regression guard: WITHOUT the offset the wavelet re-injects from t=0
+    wrong, _, _ = run_distributed(
+        dm, MAT, half, dt, 6, n_devices=4, sources=src, dtype=jnp.float64)
+    assert np.abs(np.asarray(wrong.u) - np.asarray(full.u)).max() > 1e-10
+
+
 def _write_msh_v41(path, topo):
     with open(path, "w") as f:
         f.write("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n")
