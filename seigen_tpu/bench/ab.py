@@ -1,0 +1,167 @@
+"""Scan-level A/B harnesses: isolate exchange vs kernel cost per pipeline.
+
+Per-call dispatch through the axon tunnel costs ~1 s (BENCH_NOTES.md), so
+every component is timed as a jitted lax.scan of n iterations with a final
+host readback.  Bodies are self-composable (output shape == carry shape) so
+the scan stays shape-stable; E-sized arrays are threaded as arguments.
+
+Usage:
+  python -m seigen_tpu.bench.ab --n 24 --steps 50 [--impl fused|lane]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+
+def _timed_scan(fn, carry, args, n, reps=2):
+    """Best-of-reps wall time of a jitted n-iteration scan of fn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def go(carry, args, n):
+        def body(c, _):
+            return fn(c, args), None
+
+        out, _ = jax.lax.scan(body, carry, jnp.arange(n))
+        return out
+
+    def readback(out):
+        # single-element readback: full-array pulls through the axon
+        # tunnel cost ~1 s and would swamp the measurement (BENCH_NOTES)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    out = go(carry, args, n)  # compile + warm
+    readback(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = go(carry, args, n)
+        readback(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def run_ab(n=24, degree=3, steps=50, impl="fused"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.structured_exchange import detect_structured
+    from .throughput import setup_case
+
+    dm, p, src, damp, dt, state0 = setup_case(n=n, degree=degree)
+    ex = detect_structured(dm)
+    E = dm.num_elements
+    rows = {}
+
+    if impl == "fused":
+        from ..solver.lane_fused import FusedLaneRunner
+
+        r = FusedLaneRunner(p, ex, dt, order=4, src=src, damp=damp)
+        d = r.d
+        ulm, slm = r.to_lm_state(state0)
+        trs = r.traction_traces(slm)
+        tru = jnp.zeros((d.dim * d.ftpp, r.E_pad), r.dtype)
+
+        # full step
+        rows["step"] = _timed_scan(
+            lambda c, a: r.step_with(a[0], r._aux(), c, 0.0),
+            (ulm, slm, trs), (d,), steps)
+
+        # exchanges only (3 traction + 3 value per LF4 step)
+        rows["x_t3"] = _timed_scan(
+            lambda c, a: r.ex_t(r.ex_t(r.ex_t(c))), trs, (), steps)
+        rows["x_u3"] = _timed_scan(
+            lambda c, a: r.ex_u(r.ex_u(r.ex_u(c))), tru, (), steps)
+
+        # kernels only: vel2+stress2 chain (3 of each per step), traces
+        # passed as fixed args (no exchange)
+        from ..ops.fused_kernels import stress2_op, vel2_op
+
+        def k6(c, a):
+            d_, trs_, tru_ = a
+            s = c
+            for _ in range(3):
+                uh, _tu = vel2_op(d_, s, trs_, r.block, False)
+                s, _tt = stress2_op(d_, uh, tru_, r.block, False)
+            return s
+
+        rows["k6"] = _timed_scan(k6, slm, (d, trs, tru), steps)
+    else:
+        from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
+        from ..solver.lane_major import LaneMajorRunner
+
+        r = LaneMajorRunner(p, ex, dt, order=4, src=src, damp=damp)
+        d = r.d
+        ulm, slm = r.to_lm_state(state0)
+        trs = jnp.zeros((d.n_sig * d.ftpp, r.E_pad), r.dtype)
+        tru = jnp.zeros((d.dim * d.ftpp, r.E_pad), r.dtype)
+
+        rows["step"] = _timed_scan(
+            lambda c, a: r.step_with(a[0], r._aux(), c, 0.0),
+            (ulm, slm), (d,), steps)
+
+        def xs3(c, a):
+            out = c
+            for _ in range(3):
+                out = out.at[:, : r.E].set(0.99 * r.ex_s(out)[:, : r.E][
+                    : c.shape[0]])
+            return out
+
+        # exchange produces (C*ftpp, E_pad) from (C*npp, E_pad): time the
+        # sigma exchange by feeding the field and discarding shape change
+        rows["x_s3"] = _timed_scan(
+            lambda c, a: c + 1e-30 * jnp.pad(
+                r.ex_s(c),
+                ((0, c.shape[0] - d.n_sig * d.ftpp), (0, 0)))[
+                : c.shape[0]]
+            if c.shape[0] >= d.n_sig * d.ftpp
+            else c,
+            slm, (), steps)
+
+        def k6(c, a):
+            d_, trs_, tru_ = a
+            s = c
+            for _ in range(3):
+                uh = vel_op_lm(d_, s, trs_, r.block, False)
+                s = stress_op_lm(d_, uh, tru_, r.block, False)
+            return s
+
+        rows["k6"] = _timed_scan(k6, slm, (d, trs, tru), steps)
+
+    out = {
+        "impl": impl,
+        "n": n,
+        "E": E,
+        "steps": steps,
+        "ms": {k: v * 1e3 for k, v in rows.items()},
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--degree", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--impl", type=str, default="fused")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    run_ab(args.n, args.degree, args.steps, args.impl)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

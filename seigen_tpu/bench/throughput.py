@@ -89,14 +89,22 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
-    if impl == "lane":
+    if impl in ("lane", "fused"):
         from ..ops.structured_exchange import detect_structured
-        from ..solver.lane_major import LaneMajorRunner
 
         ex = detect_structured(dm)
         if ex is None:
-            raise ValueError("lane impl requires a structured mesh")
-        runner = LaneMajorRunner(p, ex, dt, order=order, src=src, damp=damp)
+            raise ValueError(f"{impl} impl requires a structured mesh")
+        if impl == "fused":
+            from ..solver.lane_fused import FusedLaneRunner
+
+            runner = FusedLaneRunner(p, ex, dt, order=order, src=src,
+                                     damp=damp)
+        else:
+            from ..solver.lane_major import LaneMajorRunner
+
+            runner = LaneMajorRunner(p, ex, dt, order=order, src=src,
+                                     damp=damp)
         # layout conversion happens once per simulation, not per chunk:
         # time the steady-state lane-major loop
         ulm, slm = runner.to_lm_state(state0)

@@ -1,0 +1,504 @@
+"""Exchange-fused Pallas TPU kernels — the v2 lane pipeline.
+
+Round-2 redesign of ops/pallas_kernels.py attacking the HBM traffic that
+kept the v1 step at ~25-35% of its bandwidth roofline (VERDICT.md missing
+item 5 / BENCH_NOTES.md bottleneck analysis):
+
+1. **Producer-side trace emission.**  Every operator kernel emits, as a
+   second output, the face traces of the field it just produced — so the
+   inter-element exchange never re-gathers rows from full field arrays.
+   For stress fields the emitted traces are pre-contracted TRACTIONS
+   t_c = n_d sigma_{V[c,d]} (dim rows per face node instead of n_sig),
+   halving the sigma-exchange volume; the consumer flips the sign
+   (conforming faces have opposite normals).
+2. **Compact geometry.**  v1 expanded normals/Fscale/flux coefficients to
+   face-node resolution on HBM (217-225 rows/element/op).  v2 stores them
+   per-face (72 rows total, 8-aligned sections) and expands in-kernel with
+   a one-hot (ftpp, 8) matmul on the MXU.
+3. **Fused updates.**  The LF4 axpy u' = u + dt uh1 + dt^3/24 uh2 (and the
+   stress counterpart, including sponge damping) happens inside the final
+   operator kernel of each half-step, removing the separate XLA axpy
+   round-trips and producing the traces of the UPDATED field directly.
+
+The exchange itself (solver/lane_fused.py) becomes a pure permutation of
+compact trace arrays: per (class, face) one contiguous row-block read from
+the neighbour class's trace lanes, grid-rolled, sign-flipped (tractions),
+boundary-masked — no field gathers.
+
+Flux/BC semantics are identical to ops/elastic.py (jump = 0.5*nbr +
+beta/delta*own with Fscale folded: scb = 0.5*Fscale, bfs = beta_t*Fscale,
+dfs = delta_u*Fscale).  Correctness oracle: einsum twins + the v1 lane
+runner (tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import weakref
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .elastic import ElasticParams, voigt_map
+
+DEFAULT_BLOCK = 256
+
+
+def _rup(x, m=8):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["drr", "lift", "erep", "geo", "damp"],
+    meta_fields=["dim", "n_p", "npp", "ftp", "ftpp", "n_sig", "E", "nf",
+                 "n_fp", "off"],
+)
+@dataclass(frozen=True)
+class FusedOpData:
+    """Operator data for the fused lane-major kernels.
+
+    geo row layout (8-aligned sections; offsets in ``off``):
+      ginv  dim*dim rows (r*dim+d)
+      nrm   dim sections of 8 rows each, rows f<nf hold normal component d
+      scb   0.5 * Fscale            (rows f<nf)
+      bfs   beta_t * Fscale
+      dfs   delta_u * Fscale
+      mat   row 0 = 1/rho, row 1 = lambda, row 2 = mu
+    """
+
+    drr: jax.Array  # (dim*npp + ftpp, npp): [Dr stack; own-face restriction]
+    lift: jax.Array  # (npp, ftpp)
+    erep: jax.Array  # (ftpp, 8) one-hot face -> face-node expansion
+    geo: jax.Array  # (G_ROWS, E)
+    damp: jax.Array | None  # (npp, E) or None
+    dim: int
+    n_p: int
+    npp: int
+    ftp: int
+    ftpp: int
+    n_sig: int
+    E: int
+    nf: int
+    n_fp: int
+    off: tuple  # (ginv, nrm, scb, bfs, dfs, mat, total)
+
+
+_FUSED_CACHE: dict[int, tuple] = {}
+
+
+def build_fused_data(p: ElasticParams, damp=None) -> FusedOpData:
+    # cache only the damp-free variant: damp arrays are transient
+    # per-runner objects whose ids can be reused after GC
+    key = id(p)
+    if damp is None:
+        hit = _FUSED_CACHE.get(key)
+        if hit is not None and hit[0]() is p:
+            return hit[1]
+    dim, n_p = p.dim, p.n_p
+    npp = _rup(n_p)
+    nf, n_fp = p.n_faces, p.n_fp
+    ftp = nf * n_fp
+    ftpp = _rup(ftp)
+    E = p.Ginv.shape[0]
+    dt = p.Ginv.dtype
+
+    Dr = np.zeros((dim * npp, npp), dtype=np.float32)
+    for r in range(dim):
+        Dr[r * npp : r * npp + n_p, :n_p] = np.asarray(p.Dr[r])
+    LIFT = np.zeros((npp, ftpp), dtype=np.float32)
+    LIFT[:n_p, :ftp] = np.asarray(p.LIFT)
+    fn = np.array(p.fnodes).reshape(-1)
+    R = np.zeros((ftpp, npp), dtype=np.float32)
+    R[np.arange(ftp), fn] = 1.0
+
+    erep = np.zeros((ftpp, 8), dtype=np.float32)
+    for f in range(nf):
+        erep[f * n_fp : (f + 1) * n_fp, f] = 1.0
+
+    # geo sections
+    ginv_rows = _rup(dim * dim)
+    o_ginv = 0
+    o_nrm = o_ginv + ginv_rows
+    o_scb = o_nrm + 8 * dim
+    o_bfs = o_scb + 8
+    o_dfs = o_bfs + 8
+    o_mat = o_dfs + 8
+    total = o_mat + 8
+    geo = np.zeros((total, E), dtype=np.float32)
+    geo[: dim * dim] = (
+        np.asarray(p.Ginv).transpose(1, 2, 0).reshape(dim * dim, E))
+    fsc = np.asarray(p.Fscale)  # (E, nf)
+    for d in range(dim):
+        geo[o_nrm + 8 * d : o_nrm + 8 * d + nf] = np.asarray(
+            p.normals[:, :, d]).T
+    geo[o_scb : o_scb + nf] = (0.5 * fsc).T
+    geo[o_bfs : o_bfs + nf] = (np.asarray(p.beta_t) * fsc).T
+    geo[o_dfs : o_dfs + nf] = (np.asarray(p.delta_u) * fsc).T
+    geo[o_mat + 0] = np.asarray(p.inv_rho)
+    geo[o_mat + 1] = np.asarray(p.lam)
+    geo[o_mat + 2] = np.asarray(p.mu)
+
+    dmp = None
+    if damp is not None:
+        dn = np.zeros((npp, E), dtype=np.float32)
+        dn[:n_p] = np.asarray(damp).T
+        dmp = jnp.asarray(dn, dt)
+
+    data = FusedOpData(
+        drr=jnp.asarray(np.concatenate([Dr, R], axis=0), dt),
+        lift=jnp.asarray(LIFT, dt),
+        erep=jnp.asarray(erep, dt),
+        geo=jnp.asarray(geo, dt),
+        damp=dmp,
+        dim=dim,
+        n_p=n_p,
+        npp=npp,
+        ftp=ftp,
+        ftpp=ftpp,
+        n_sig=p.n_sig,
+        E=E,
+        nf=nf,
+        n_fp=n_fp,
+        off=(o_ginv, o_nrm, o_scb, o_bfs, o_dfs, o_mat, total),
+    )
+    if damp is None:
+        _FUSED_CACHE[key] = (
+            weakref.ref(p, lambda _, k=key: _FUSED_CACHE.pop(k, None)),
+            data,
+        )
+    return data
+
+
+# In-kernel matmul precision scheme.  The package-wide policy is 'highest'
+# (full f32, ~6 bf16 MXU passes — BENCH_NOTES.md precision policy), but
+# Mosaic has no 'high' tier, and the A/B harness shows the extra passes
+# dominate kernel time.  'x3' reproduces XLA's bf16_3x algorithm manually:
+# split both operands into bf16 hi+lo and take the three leading products —
+# relative error ~2^-21 per product, far below the DG spatial error floor
+# (validated on the TPU eigenmode run, results/precision_study.json).
+KERNEL_PRECISION = __import__("os").environ.get(
+    "SEIGEN_TPU_KERNEL_PRECISION", "x3")
+
+
+def _dot_raw(a, b, precision=None):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot(a, b, onehot=False):
+    """Matmul at the configured kernel precision.
+
+    onehot=True marks selection/expansion matrices whose entries are exact
+    in bf16 (0/1): only the b operand needs splitting (2 passes).
+    """
+    if KERNEL_PRECISION == "highest":
+        return _dot_raw(a, b, jax.lax.Precision.HIGHEST)
+    if KERNEL_PRECISION == "default":
+        return _dot_raw(a, b, jax.lax.Precision.DEFAULT)
+    # x3: bf16_3x (hi*hi + lo*hi + hi*lo), f32 accumulation
+    P = jax.lax.Precision.DEFAULT
+    b_hi, b_lo = _split_bf16(b)
+    if onehot:
+        return _dot_raw(a, b_hi, P) + _dot_raw(a, b_lo, P)
+    a_hi, a_lo = _split_bf16(a)
+    return (_dot_raw(a_hi, b_hi, P) + _dot_raw(a_lo, b_hi, P)
+            + _dot_raw(a_hi, b_lo, P))
+
+
+def _geo_expand_all(erep, geo_ref, offs):
+    """Face-node expansion of several 8-row geo sections in ONE wide matmul.
+
+    Returns a list of (ftpp, B) arrays, one per offset.  Batching the tiny
+    (ftpp, 8) @ (8, B) products along lanes keeps the MXU pipeline full
+    (measured: per-component small dots dominated kernel time under the
+    multi-pass 'highest' matmul precision).
+    """
+    B = geo_ref.shape[1]
+    wide = jnp.concatenate(
+        [geo_ref[off : off + 8, :] for off in offs], axis=1)
+    out = _dot(erep, wide, onehot=True)
+    return [out[:, i * B : (i + 1) * B] for i in range(len(offs))]
+
+
+def _combo(drr_ref, x_ref, npp, dim, C):
+    """[derivatives; own traces] for ALL components in one wide matmul.
+
+    Returns (der, own): der[r][c] (npp, B), own[c] (ftpp, B).
+    """
+    B = x_ref.shape[1]
+    wide = jnp.concatenate(
+        [x_ref[c * npp : (c + 1) * npp, :] for c in range(C)], axis=1)
+    combo = _dot(drr_ref[:], wide)  # (dim*npp + ftpp, C*B)
+    der = [[None] * C for _ in range(dim)]
+    own = [None] * C
+    for c in range(C):
+        blk = combo[:, c * B : (c + 1) * B]
+        for r in range(dim):
+            der[r][c] = blk[r * npp : (r + 1) * npp, :]
+        own[c] = blk[dim * npp :, :]
+    return der, own
+
+
+def _wide_dot_split(mat, cols, onehot=False):
+    """mat @ concat(cols, lanes) -> list of per-column-block results."""
+    B = cols[0].shape[1]
+    wide = jnp.concatenate(cols, axis=1)
+    out = _dot(mat, wide, onehot=onehot)
+    return [out[:, i * B : (i + 1) * B] for i in range(len(cols))]
+
+
+def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
+                 *refs):
+    """Fused velocity operator.
+
+    du_c = (1/rho) (div(sigma)_c + LIFT((scb*tr_c + bfs*t_own_c)))
+    tr_ref holds SIGNED neighbour tractions (exchange output): already
+    +n_own . sigma_nbr on interior faces, +t_own on boundary faces.
+
+    axpy: additionally reads (u, uh1) and emits u' = u + dt*uh1 + c3*du
+    instead of du.  Always emits the face traces of the primary output.
+    """
+    if axpy:
+        (sig_ref, tr_ref, u_ref, uh1_ref, geo_ref, drr_ref, lift_ref,
+         erep_ref, out_ref, trout_ref) = refs
+    else:
+        (sig_ref, tr_ref, geo_ref, drr_ref, lift_ref, erep_ref,
+         out_ref, trout_ref) = refs
+    V = voigt_map(dim)
+    o_ginv, o_nrm, o_scb, o_bfs, _, o_mat, _ = off
+
+    der, own = _combo(drr_ref, sig_ref, npp, dim, n_sig)
+    exp = _geo_expand_all(
+        erep_ref[:], geo_ref,
+        [o_nrm + 8 * d for d in range(dim)] + [o_scb, o_bfs])
+    nrm, scb, bfs = exp[:dim], exp[dim], exp[dim + 1]
+    irho = geo_ref[o_mat : o_mat + 1, :]
+    rmat = drr_ref[dim * npp :, :]
+
+    fluxes = []
+    for cout in range(dim):
+        t_own = None
+        for d in range(dim):
+            o = nrm[d] * own[V[cout, d]]
+            t_own = o if t_own is None else t_own + o
+        fluxes.append(
+            scb * tr_ref[cout * ftpp : (cout + 1) * ftpp, :] + bfs * t_own)
+    surfs = _wide_dot_split(lift_ref[:], fluxes)
+
+    res = [None] * dim
+    for cout in range(dim):
+        div = None
+        for d in range(dim):
+            for r in range(dim):
+                g = geo_ref[o_ginv + r * dim + d : o_ginv + r * dim + d + 1,
+                            :]
+                term = g * der[r][V[cout, d]]
+                div = term if div is None else div + term
+        du = irho * (div + surfs[cout])
+        if axpy:
+            res[cout] = (u_ref[cout * npp : (cout + 1) * npp, :]
+                         + dt * uh1_ref[cout * npp : (cout + 1) * npp, :]
+                         + c3 * du)
+        else:
+            res[cout] = du
+        out_ref[cout * npp : (cout + 1) * npp, :] = res[cout]
+    traces = _wide_dot_split(rmat, res, onehot=True)
+    for cout in range(dim):
+        trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = traces[cout]
+
+
+def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                    *refs):
+    """Fused stress operator.
+
+    ds = Hooke(grad u) + LIFT(Hooke_face(scb*tr_u + dfs*u_own)); emits
+    TRACTION traces t_c = n_d res_{V[c,d]} of the primary output.
+
+    axpy: reads (s, sh1[, damp]) and emits s' = damp*(s + dt*sh1 + c3*ds).
+    """
+    i = 0
+    u_ref, tr_ref = refs[0], refs[1]
+    i = 2
+    if axpy:
+        s_ref, sh1_ref = refs[i], refs[i + 1]
+        i += 2
+        if use_damp:
+            damp_ref = refs[i]
+            i += 1
+    geo_ref, drr_ref, lift_ref, erep_ref = refs[i : i + 4]
+    out_ref, trout_ref = refs[i + 4], refs[i + 5]
+    V = voigt_map(dim)
+    o_ginv, o_nrm, o_scb, _, o_dfs, o_mat, _ = off
+
+    der, own = _combo(drr_ref, u_ref, npp, dim, dim)
+    exp = _geo_expand_all(
+        erep_ref[:], geo_ref,
+        [o_nrm + 8 * d for d in range(dim)] + [o_scb, o_dfs])
+    nrm, scb, dfs = exp[:dim], exp[dim], exp[dim + 1]
+    lam = geo_ref[o_mat + 1 : o_mat + 2, :]
+    mu = geo_ref[o_mat + 2 : o_mat + 3, :]
+    rmat = drr_ref[dim * npp :, :]
+
+    def grad(d, c):
+        out = None
+        for r in range(dim):
+            g = geo_ref[o_ginv + r * dim + d : o_ginv + r * dim + d + 1, :]
+            term = g * der[r][c]
+            out = term if out is None else out + term
+        return out
+
+    gcache = {(d, c): grad(d, c) for d in range(dim) for c in range(dim)}
+    divu = sum(gcache[(d, d)] for d in range(dim))
+
+    vol = []
+    for c in range(dim):
+        vol.append(lam * divu + 2.0 * mu * gcache[(c, c)])
+    if dim == 2:
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+    else:
+        vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
+        vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+
+    # velocity jump at face nodes with Fscale folded
+    du = [scb * tr_ref[c * ftpp : (c + 1) * ftpp, :] + dfs * own[c]
+          for c in range(dim)]
+    ndu = sum(nrm[d] * du[d] for d in range(dim))
+    face = []
+    for c in range(dim):
+        face.append(lam * ndu + 2.0 * mu * nrm[c] * du[c])
+    if dim == 2:
+        face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+    else:
+        face.append(mu * (nrm[1] * du[2] + nrm[2] * du[1]))
+        face.append(mu * (nrm[0] * du[2] + nrm[2] * du[0]))
+        face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+
+    surfs = _wide_dot_split(lift_ref[:], face)
+    res = [None] * n_sig
+    for c in range(n_sig):
+        ds = vol[c] + surfs[c]
+        if axpy:
+            r_ = (s_ref[c * npp : (c + 1) * npp, :]
+                  + dt * sh1_ref[c * npp : (c + 1) * npp, :]
+                  + c3 * ds)
+            if use_damp:
+                r_ = damp_ref[:] * r_
+        else:
+            r_ = ds
+        res[c] = r_
+        out_ref[c * npp : (c + 1) * npp, :] = r_
+
+    # traction traces of the primary output
+    tr_sig = _wide_dot_split(rmat, res, onehot=True)
+    for cout in range(dim):
+        t = None
+        for d in range(dim):
+            o = nrm[d] * tr_sig[V[cout, d]]
+            t = o if t is None else t + o
+        trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = t
+
+
+def _lane_specs(block, row_counts):
+    return [
+        pl.BlockSpec((rows, block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+        for rows in row_counts
+    ]
+
+
+def _table_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def vel2_op(d: FusedOpData, sig_lm, tr_lm, block=DEFAULT_BLOCK,
+            interpret=False, axpy=None, dt=0.0, c3=0.0):
+    """Fused velocity operator on lane-major state.
+
+    sig_lm (n_sig*npp, E_pad), tr_lm (dim*ftpp, E_pad) signed neighbour
+    tractions.  axpy: None or (u_lm, uh1_lm) -> primary output is
+    u + dt*uh1 + c3*du.  Returns (out (dim*npp, E_pad), traces of out
+    (dim*ftpp, E_pad))."""
+    E_pad = sig_lm.shape[1]
+    grid = (E_pad // block,)
+    kernel = functools.partial(
+        _vel2_kernel, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+        axpy is not None, dt, c3)
+    args = [sig_lm, tr_lm]
+    rows = [sig_lm.shape[0], tr_lm.shape[0]]
+    if axpy is not None:
+        args += [axpy[0], axpy[1]]
+        rows += [axpy[0].shape[0], axpy[1].shape[0]]
+    args.append(d.geo)
+    rows.append(d.geo.shape[0])
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d.dim * d.npp, E_pad), sig_lm.dtype),
+            jax.ShapeDtypeStruct((d.dim * d.ftpp, E_pad), sig_lm.dtype),
+        ),
+        grid=grid,
+        in_specs=_lane_specs(block, rows)
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape),
+           _table_spec(d.erep.shape)],
+        out_specs=(
+            pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d.dim * d.ftpp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*args, d.drr, d.lift, d.erep)
+
+
+def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
+               interpret=False, axpy=None, dt=0.0, c3=0.0):
+    """Fused stress operator; axpy: None or (s_lm, sh1_lm) — then the
+    primary output is damp*(s + dt*sh1 + c3*ds) (damp folded if present).
+    Returns (out (n_sig*npp, E_pad), TRACTION traces (dim*ftpp, E_pad))."""
+    E_pad = u_lm.shape[1]
+    grid = (E_pad // block,)
+    use_damp = axpy is not None and d.damp is not None
+    kernel = functools.partial(
+        _stress2_kernel, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+        axpy is not None, use_damp, dt, c3)
+    args = [u_lm, tr_lm]
+    rows = [u_lm.shape[0], tr_lm.shape[0]]
+    if axpy is not None:
+        args += [axpy[0], axpy[1]]
+        rows += [axpy[0].shape[0], axpy[1].shape[0]]
+        if use_damp:
+            args.append(d.damp)
+            rows.append(d.damp.shape[0])
+    args.append(d.geo)
+    rows.append(d.geo.shape[0])
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d.n_sig * d.npp, E_pad), u_lm.dtype),
+            jax.ShapeDtypeStruct((d.dim * d.ftpp, E_pad), u_lm.dtype),
+        ),
+        grid=grid,
+        in_specs=_lane_specs(block, rows)
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape),
+           _table_spec(d.erep.shape)],
+        out_specs=(
+            pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d.dim * d.ftpp, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*args, d.drr, d.lift, d.erep)

@@ -1,0 +1,396 @@
+"""Exchange-fused lane-major LF4 solver — the v2 TPU pipeline.
+
+Builds on solver/lane_major.py (v1) with the round-2 traffic redesign
+(ops/fused_kernels.py): every operator kernel emits the face traces of its
+output (tractions for stress fields), so the exchange is a pure permutation
+of compact (dim*ftpp, E) trace arrays — per (class, face) one contiguous
+row block from the neighbour class's lanes, grid-rolled, sign-flipped
+(tractions: consumer normal = -producer normal), boundary-masked.  No
+field-array gathers, no separate axpy passes (folded into the final kernel
+of each half-step, with sponge damping), and the stress traces ride the
+scan carry across steps.
+
+LF4 only (the axpy fusion encodes the dt^3/24 correction); order-2 runs use
+the v1 path.  Equivalence oracle: LaneMajorRunner / general run()
+(tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elastic import ElasticParams, voigt_map
+from ..ops.fused_kernels import (
+    DEFAULT_BLOCK,
+    FusedOpData,
+    build_fused_data,
+    stress2_op,
+    vel2_op,
+)
+from ..ops.structured_exchange import StructuredExchange
+from .lane_major import class_major_perm, from_lm, to_lm
+from .receivers import ReceiverData
+from .source import SourceData, ricker
+from .timestep import State
+
+
+def _rup(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def derive_pairing(ex: StructuredExchange):
+    """Producer-side face index f2 and node permutation pi per (t, f).
+
+    ex.nodes[t, f] holds the neighbour's local node ids in CONSUMER order;
+    the producer emits its own-face traces in fnodes order, so the exchange
+    re-reads rows (f2, pi).  f2 is the unique neighbour face whose node set
+    matches; pi[j] locates nodes[t, f][j] within fnodes[f2].
+    """
+    nf, nfp = ex.n_faces, ex.n_fp
+    fsets = [frozenset(ex.own_nodes[f].tolist()) for f in range(nf)]
+    f2 = np.zeros((ex.m, nf), dtype=np.int64)
+    pi = np.zeros((ex.m, nf, nfp), dtype=np.int64)
+    for t in range(ex.m):
+        for f in range(nf):
+            s = frozenset(ex.nodes[t, f].tolist())
+            matches = [g for g in range(nf) if fsets[g] == s]
+            assert len(matches) == 1, (t, f, s)
+            g = matches[0]
+            f2[t, f] = g
+            pos = {int(n): j for j, n in enumerate(ex.own_nodes[g])}
+            for j in range(nfp):
+                pi[t, f, j] = pos[int(ex.nodes[t, f, j])]
+    return f2, pi
+
+
+def make_trace_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
+                        E: int, E_pad: int, negate: bool):
+    """(C*ftpp, E_pad) producer-emitted traces -> consumer-ordered traces.
+
+    negate=True for traction traces (conforming faces have opposite
+    normals: consumer t_nbr = -producer t_own); boundary faces always take
+    the consumer's own rows unnegated (ops/elastic.py ghost convention).
+    """
+    dim = len(ex.grid)
+    NC = int(np.prod(ex.grid))
+    f2, pi = derive_pairing(ex)
+
+    rows_src = {}
+    rows_own = {}
+    for t in range(ex.m):
+        for f in range(ex.n_faces):
+            g = int(f2[t, f])
+            rows_src[(t, f)] = np.concatenate(
+                [c * d.ftpp + g * ex.n_fp + pi[t, f] for c in range(C)])
+            rows_own[(t, f)] = np.concatenate(
+                [c * d.ftpp + f * ex.n_fp + np.arange(ex.n_fp)
+                 for c in range(C)])
+    masks = {
+        (t, f): jnp.asarray(ex.self_mask[t, f].reshape(-1))[None]
+        for t in range(ex.m) for f in range(ex.n_faces)
+    }
+
+    ftp = ex.n_faces * ex.n_fp
+    pad_rows = d.ftpp - ftp
+
+    def exchange(tr_lm: jax.Array) -> jax.Array:
+        F = tr_lm[:, :E]
+        cls_blocks = []
+        for t in range(ex.m):
+            face_blocks = []
+            for f in range(ex.n_faces):
+                t2 = int(ex.nbr_class[t, f])
+                blk = F[:, t2 * NC : (t2 + 1) * NC][rows_src[(t, f)]]
+                blk = blk.reshape((len(rows_src[(t, f)]),) + ex.grid)
+                for ax in range(dim):
+                    s = int(ex.shift[t, f, ax])
+                    if s:
+                        blk = jnp.roll(blk, -s, axis=1 + ax)
+                blk = blk.reshape(len(rows_src[(t, f)]), NC)
+                if negate:
+                    blk = -blk
+                if ex.self_mask[t, f].any():
+                    own_blk = F[:, t * NC : (t + 1) * NC][rows_own[(t, f)]]
+                    blk = jnp.where(masks[(t, f)], own_blk, blk)
+                face_blocks.append(blk.reshape(C, ex.n_fp, NC))
+            cls = jnp.concatenate(face_blocks, axis=1)  # (C, ftp, NC)
+            if pad_rows:
+                cls = jnp.pad(cls, ((0, 0), (0, pad_rows), (0, 0)))
+            cls_blocks.append(cls.reshape(C * d.ftpp, NC))
+        out = jnp.concatenate(cls_blocks, axis=1)
+        if E_pad != E:
+            out = jnp.pad(out, ((0, 0), (0, E_pad - E)))
+        return out
+
+    return exchange
+
+
+class FusedLaneRunner:
+    """v2 exchange-fused lane-major runner (LF4, structured meshes)."""
+
+    def __init__(
+        self,
+        p: ElasticParams,
+        ex: StructuredExchange,
+        dt: float,
+        order: int = 4,
+        src: SourceData | None = None,
+        damp: jax.Array | None = None,
+        receivers: ReceiverData | None = None,
+        record_pressure: bool = False,
+        block: int = DEFAULT_BLOCK,
+        interpret: bool = False,
+    ):
+        if order != 4:
+            raise ValueError("FusedLaneRunner is LF4-only (use the v1 lane "
+                             "path for order=2)")
+        self.record_pressure = record_pressure
+        self.p = p
+        self.ex = ex
+        self.interpret = interpret
+        self.dtype = p.Ginv.dtype
+        self.dt = jnp.asarray(dt, self.dtype)
+        # static scalars for the kernels (compiled-in constants)
+        self._dt_f = float(dt)
+        self._c3_f = float(dt) ** 3 / 24.0
+
+        # class-major element reordering shared with v1
+        E_old = p.Ginv.shape[0]
+        old_of_new, new_of_old = class_major_perm(ex, E_old)
+        self._old_of_new, self._new_of_old = old_of_new, new_of_old
+
+        damp_perm = (
+            None if damp is None else np.asarray(damp)[old_of_new])
+        d = build_fused_data(p, damp=damp_perm)
+        E = d.E
+        E_pad = _rup(E, block)
+        self.E, self.E_pad = E, E_pad
+        if E_pad % block:
+            raise AssertionError
+        self.block = block
+
+        import dataclasses as _dc
+
+        def permute_pad(arr):
+            a = np.asarray(arr)
+            out = a[:, old_of_new]
+            if E_pad != E:
+                out = np.pad(out, ((0, 0), (0, E_pad - E)))
+            return jnp.asarray(out, a.dtype)
+
+        # geo was built in OLD element order; damp was pre-permuted above
+        self.d = d = _dc.replace(
+            d,
+            geo=permute_pad(d.geo),
+            damp=None if d.damp is None else jnp.asarray(
+                np.pad(np.asarray(d.damp), ((0, 0), (0, E_pad - E))),
+                self.dtype),
+        )
+
+        self.ex_t = make_trace_exchange(ex, d, d.dim, E, E_pad, negate=True)
+        self.ex_u = make_trace_exchange(ex, d, d.dim, E, E_pad, negate=False)
+
+        # XLA damp multiply for u (s-damp is folded into the final stress
+        # kernel; u' must be damped AFTER its traces feed the sh1 stage,
+        # matching the v1 end-of-step damp ordering)
+        if damp is not None:
+            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn[: d.n_p] = damp_perm.T
+            dn = np.pad(dn, ((0, 0), (0, E_pad - E)))
+            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+        else:
+            self.damp_u = None
+
+        self._build_sources(src, new_of_old)
+        if receivers is not None:
+            self.rcv = ReceiverData(
+                elems=jnp.asarray(
+                    new_of_old[np.asarray(receivers.elems)], jnp.int32),
+                weights=receivers.weights,
+            )
+        else:
+            self.rcv = None
+
+        # face-node-expanded normals for the initial traction extraction
+        nrm = np.asarray(p.normals)[old_of_new]  # (E, nf, dim)
+        rep = np.repeat(np.arange(d.nf), d.n_fp)
+        nrm_exp = np.zeros((d.dim, d.ftpp, E_pad), dtype=np.float32)
+        for dd in range(d.dim):
+            nrm_exp[dd, : d.ftp, :E] = nrm[:, rep, dd].T
+        self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
+        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float32)
+        fn = np.array(p.fnodes).reshape(-1)
+        rmat[np.arange(d.ftp), fn] = 1.0
+        self._rmat = jnp.asarray(rmat, self.dtype)
+
+    # ------------------------------------------------------------------
+    def _build_sources(self, src, new_of_old):
+        d, p = self.d, self.p
+        if src is None:
+            self.src_elems = None
+            return
+        K = src.elems.shape[0]
+        V = voigt_map(d.dim)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        for c in range(d.dim):
+            vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                src.vec_u[:, :, c]).T
+        for c in range(d.n_sig):
+            vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                src.vec_s[:, :, c]).T
+        # face-trace patches (consumer-order rows c*ftpp + f*nfp + j)
+        fnodes = np.array(p.fnodes)  # (nf, nfp)
+        normals = np.asarray(p.normals)  # (E, nf, dim) OLD order
+        elems_old = np.asarray(src.elems)
+        vec_u = np.asarray(src.vec_u)  # (K, n_p, dim)
+        vec_s = np.asarray(src.vec_s)  # (K, n_p, n_sig)
+        tru = np.zeros((d.dim * d.ftpp, K), dtype=np.float32)
+        trt = np.zeros((d.dim * d.ftpp, K), dtype=np.float32)
+        for c in range(d.dim):
+            for f in range(d.nf):
+                rows = c * d.ftpp + f * d.n_fp + np.arange(d.n_fp)
+                tru[rows] = vec_u[:, fnodes[f], c].T
+                acc = np.zeros((K, d.n_fp))
+                for dd in range(d.dim):
+                    acc += (normals[elems_old, f, dd][:, None]
+                            * vec_s[:, fnodes[f], V[c, dd]])
+                trt[rows] = acc.T
+        self.src_elems = jnp.asarray(new_of_old[elems_old], jnp.int32)
+        self.src_vu = jnp.asarray(vu, self.dtype)
+        self.src_vs = jnp.asarray(vs, self.dtype)
+        self.src_tru = jnp.asarray(tru, self.dtype)
+        self.src_trt = jnp.asarray(trt, self.dtype)
+        self.src_f0, self.src_t0, self.src_amp = src.f0, src.t0, src.amp
+
+    def _aux(self):
+        aux = {}
+        if self.damp_u is not None:
+            aux["damp_u"] = self.damp_u
+        if self.src_elems is not None:
+            aux["src_vu"], aux["src_vs"] = self.src_vu, self.src_vs
+            aux["src_tru"], aux["src_trt"] = self.src_tru, self.src_trt
+        if self.rcv is not None:
+            aux["rcv_w"] = self.rcv.weights
+        return aux
+
+    # --- state conversion ---
+    def to_lm_state(self, state: State):
+        d = self.d
+        perm = jnp.asarray(self._old_of_new)
+        ulm = to_lm(state.u[perm], d.npp, self.E_pad)
+        slm = to_lm(state.s[perm], d.npp, self.E_pad)
+        return ulm, slm
+
+    def from_lm_state(self, ulm, slm) -> State:
+        d = self.d
+        inv = jnp.asarray(self._new_of_old)
+        return State(
+            u=from_lm(ulm, d.n_p, d.npp, d.dim, self.E)[inv],
+            s=from_lm(slm, d.n_p, d.npp, d.n_sig, self.E)[inv],
+        )
+
+    def traction_traces(self, slm):
+        """Own-face traction traces of a lane-major stress field (XLA) —
+        used once per run to seed the scan carry."""
+        d = self.d
+        V = voigt_map(d.dim)
+        tr_sig = [
+            self._rmat @ slm[c * d.npp : (c + 1) * d.npp]
+            for c in range(d.n_sig)
+        ]
+        rows = []
+        for c in range(d.dim):
+            t = sum(self._nrm_exp[dd] * tr_sig[V[c, dd]]
+                    for dd in range(d.dim))
+            rows.append(t)
+        return jnp.concatenate(rows, axis=0)  # (dim*ftpp, E_pad)
+
+    # --- step ---
+    def _inject(self, aux, field, tr, vecs, tr_vecs, t):
+        if self.src_elems is None:
+            return field, tr
+        r = (self.src_amp * ricker(t, self.src_f0, self.src_t0))[None, :]
+        r = r.astype(self.dtype)
+        field = field.at[:, self.src_elems].add(vecs * r)
+        tr = tr.at[:, self.src_elems].add(tr_vecs * r)
+        return field, tr
+
+    def step_with(self, d, aux, carry, t):
+        ulm, slm, trs = carry
+        dt, c3 = self._dt_f, self._c3_f
+        blk, itp = self.block, self.interpret
+
+        uh1, tru1 = vel2_op(d, slm, self.ex_t(trs), blk, itp)
+        uh1, tru1 = self._inject(
+            aux, uh1, tru1, aux.get("src_vu"), aux.get("src_tru"),
+            t + 0.5 * dt)
+        st, trt_st = stress2_op(d, uh1, self.ex_u(tru1), blk, itp)
+        unew, tru_new = vel2_op(
+            d, st, self.ex_t(trt_st), blk, itp, axpy=(ulm, uh1),
+            dt=dt, c3=c3)
+
+        sh1, trt_sh1 = stress2_op(d, unew, self.ex_u(tru_new), blk, itp)
+        sh1, trt_sh1 = self._inject(
+            aux, sh1, trt_sh1, aux.get("src_vs"), aux.get("src_trt"),
+            t + dt)
+        ut, tru_ut = vel2_op(d, sh1, self.ex_t(trt_sh1), blk, itp)
+        snew, trt_new = stress2_op(
+            d, ut, self.ex_u(tru_ut), blk, itp, axpy=(slm, sh1),
+            dt=dt, c3=c3)
+
+        if self.damp_u is not None:
+            unew = unew * aux["damp_u"]
+        return (unew, snew, trt_new)
+
+    def _sample(self, aux, u_lm, s_lm=None):
+        d = self.d
+        g = u_lm[:, self.rcv.elems]
+        g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
+        rec = jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
+        if self.record_pressure and s_lm is not None:
+            gs = s_lm[:, self.rcv.elems].reshape(d.n_sig, d.npp, -1)
+            pr = -jnp.mean(gs[: d.dim, : d.n_p], axis=0)
+            rec_p = jnp.einsum("ri,ir->r", aux["rcv_w"], pr)[:, None]
+            rec = jnp.concatenate([rec, rec_p], axis=-1)
+        return rec
+
+    def _go(self):
+        if not hasattr(self, "_go_fn"):
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def go(d, aux, ulm, slm, trs, n, k0):
+                def body(carry, k):
+                    carry = self.step_with(
+                        d, aux, carry, k.astype(self.dtype) * self.dt)
+                    ys = (
+                        self._sample(aux, carry[0], carry[1])
+                        if self.rcv is not None
+                        else None
+                    )
+                    return carry, ys
+
+                (ulm, slm, trs), seis = jax.lax.scan(
+                    body, (ulm, slm, trs), jnp.arange(n) + k0)
+                return ulm, slm, trs, seis
+
+            self._go_fn = go
+        return self._go_fn
+
+    def run(self, state0: State, n_steps: int, step0: int = 0):
+        ulm, slm = self.to_lm_state(state0)
+        trs = self.traction_traces(slm)
+        ulm, slm, _, seis = self._go()(
+            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+        return self.from_lm_state(ulm, slm), (
+            None if seis is None else np.asarray(seis))
+
+    def run_lm(self, ulm, slm, n_steps: int, step0: int = 0):
+        trs = self.traction_traces(slm)
+        ulm, slm, trs, seis = self._go()(
+            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+        return ulm, slm, seis
