@@ -67,14 +67,115 @@ def derive_pairing(ex: StructuredExchange):
     return f2, pi
 
 
-def make_trace_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
-                        E: int, E_pad: int, negate: bool):
+def make_trace_exchange_take(ex: StructuredExchange, d: FusedOpData,
+                             C: int, E: int, E_pad: int, negate: bool):
     """(C*ftpp, E_pad) producer-emitted traces -> consumer-ordered traces.
+
+    NEGATIVE RESULT (kept for reference): measured SLOWER than the
+    per-(class, face) loop below on TPU at E=83k (x_t3 1.66 -> 2.41 ms/3):
+    the row take (5760 x 6.9KB rows) + grouped roll scatters beat the
+    many-small-copies loop on op count but lose on copy efficiency.
+
+    Vectorized over classes: the (row, class) source permutation is ONE
+    take on the (R*m, NC) row-major view (the per-(class, face) loop of the
+    v1 exchange was XLA-op-launch-bound: ~500 small slice ops per
+    application); the residual one-axis +-1 supercell rolls are applied to
+    the six (axis, dir) row groups; boundary faces select the consumer's
+    own rows (an identity view) via one masked where.
 
     negate=True for traction traces (conforming faces have opposite
     normals: consumer t_nbr = -producer t_own); boundary faces always take
     the consumer's own rows unnegated (ops/elastic.py ghost convention).
     """
+    dim = len(ex.grid)
+    NC = int(np.prod(ex.grid))
+    m = ex.m
+    nf, nfp = ex.n_faces, ex.n_fp
+    f2, pi = derive_pairing(ex)
+    ftp = nf * nfp
+    R_real = C * ftp
+
+    # source index for output (row=(c,f,k), class=t):
+    #   IDX[r*m + t] = (c*ftpp + f2*nfp + pi) * m + t2
+    IDX = np.zeros((R_real, m), dtype=np.int32)
+    grp = np.zeros((R_real, m), dtype=np.int64)  # 0 = no roll
+    g_id = {}
+    for ax in range(dim):
+        for s in (-1, 1):
+            g_id[(ax, s)] = len(g_id) + 1
+    for t in range(m):
+        for f in range(nf):
+            t2 = int(ex.nbr_class[t, f])
+            g = int(f2[t, f])
+            sh = ex.shift[t, f]
+            # conforming simplicial faces cross at most one supercell plane
+            assert int(np.count_nonzero(sh)) <= 1, (t, f, sh)
+            gg = 0
+            for ax in range(dim):
+                if sh[ax]:
+                    gg = g_id[(ax, int(sh[ax]))]
+            for c in range(C):
+                rows = c * ftp + f * nfp + np.arange(nfp)
+                IDX[rows, t] = (c * d.ftpp + g * nfp + pi[t, f]) * m + t2
+                grp[rows, t] = gg
+    IDX_j = jnp.asarray(IDX.reshape(-1))
+
+    groups = []  # (axis, dir, row-index array into the (R_real*m) space)
+    for (ax, s), gid in g_id.items():
+        rows = np.nonzero(grp.reshape(-1) == gid)[0]
+        if len(rows):
+            groups.append((ax, s, jnp.asarray(rows.astype(np.int32))))
+
+    any_mask = bool(ex.self_mask.any())
+    if any_mask:
+        # (nf, m, NC) -> broadcast over (C, ., nfp, ., .)
+        mk = np.zeros((nf, m, NC), dtype=bool)
+        for t in range(m):
+            for f in range(nf):
+                mk[f, t] = ex.self_mask[t, f].reshape(-1)
+        mask_j = jnp.asarray(mk)[None, :, None]  # (1, nf, 1, m, NC)
+
+    pad_rows = d.ftpp - ftp
+    if any_mask and pad_rows:
+        # own rows: OWN_IDX[r*m + t] = (c*ftpp + f*nfp + k)*m + t
+        rows_real = np.concatenate(
+            [c * d.ftpp + np.arange(ftp) for c in range(C)])  # (R_real,)
+        OWN_IDX = (rows_real[:, None] * m + np.arange(m)[None, :])
+        OWN_IDX_j = jnp.asarray(OWN_IDX.reshape(-1).astype(np.int32))
+
+    def exchange(tr_lm: jax.Array) -> jax.Array:
+        # (C*ftpp, E) -> (R*m, NC) row-major (row, class) view
+        flat = tr_lm[:, : m * NC].reshape(C * d.ftpp * m, NC)
+        out = jnp.take(flat, IDX_j, axis=0)  # (R_real*m, NC)
+        for ax, s, rows in groups:
+            sub = out[rows].reshape((len(rows),) + ex.grid)
+            sub = jnp.roll(sub, -s, axis=1 + ax)
+            out = out.at[rows].set(sub.reshape(len(rows), NC))
+        if negate:
+            out = -out
+        if any_mask:
+            own = (flat[: R_real * m] if pad_rows == 0
+                   else jnp.take(flat, OWN_IDX_j, axis=0))
+            o5 = own.reshape(C, nf, nfp, m, NC)
+            x5 = out.reshape(C, nf, nfp, m, NC)
+            out = jnp.where(mask_j, o5, x5).reshape(R_real * m, NC)
+        # back to (C*ftpp, E_pad) lane-major, re-inserting row padding
+        out = out.reshape(C, ftp, m * NC)
+        if pad_rows:
+            out = jnp.pad(out, ((0, 0), (0, pad_rows), (0, 0)))
+        out = out.reshape(C * d.ftpp, m * NC)
+        if E_pad != m * NC:
+            out = jnp.pad(out, ((0, 0), (0, E_pad - m * NC)))
+        return out
+
+    return exchange
+
+
+def make_trace_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
+                        E: int, E_pad: int, negate: bool):
+    """(C*ftpp, E_pad) producer-emitted traces -> consumer-ordered traces:
+    per (class, face) one contiguous row block from the neighbour class's
+    lanes, grid-rolled, sign-flipped (tractions), boundary-masked."""
     dim = len(ex.grid)
     NC = int(np.prod(ex.grid))
     f2, pi = derive_pairing(ex)
