@@ -27,6 +27,7 @@ from ..ops.elastic import ElasticParams, voigt_map
 from ..ops.fused_kernels import (
     DEFAULT_BLOCK,
     FusedOpData,
+    _dot,
     build_fused_data,
     stress2_op,
     vel2_op,
@@ -171,6 +172,189 @@ def make_trace_exchange_take(ex: StructuredExchange, d: FusedOpData,
     return exchange
 
 
+def _exchange_block_size(ex: StructuredExchange) -> int | None:
+    """Lane-block size for the Pallas exchange kernel, or None if the mesh
+    doesn't satisfy its constraints (small/periodic/odd-shaped meshes fall
+    back to the XLA loop exchange)."""
+    NC = int(np.prod(ex.grid))
+    if ex.self_mask.size and not ex.self_mask.any():
+        # periodic mesh: flat-roll wrap planes are NOT boundary-masked, so
+        # the windowed kernel would read wrapped junk — use the loop path
+        return None
+    strides = _flat_strides(ex.grid)
+    smax = int(max(
+        abs(int(np.dot(ex.shift[t, f], strides)))
+        for t in range(ex.m) for f in range(ex.n_faces)))
+    if ex.m > 16:
+        return None
+    for bx in (256, 384, 512, 768, 1024, 1536, 2048, 2304, 3072, 4096):
+        if bx % 128 == 0 and bx >= smax and NC % bx == 0:
+            return bx
+    return None
+
+
+def _flat_strides(grid):
+    strides = []
+    s = 1
+    for g in reversed(grid):
+        strides.append(s)
+        s *= g
+    return tuple(reversed(strides))
+
+
+def make_pallas_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
+                         E: int, E_pad: int, negate: bool,
+                         interpret: bool = False):
+    """Pallas TPU trace exchange: the XLA loop formulation is op-bound
+    (~500 small slice/roll ops, ~123-145 GB/s effective; the vectorized
+    take variant measured even slower).  This kernel does the whole
+    permutation per class in one pass: per face, a lane-shifted window of
+    the neighbour class's trace block (two lane-adjacent input blocks,
+    static offsets), a one-hot row-permutation matmul (f2 + pi), sign flip,
+    and a boundary-mask select against the own-trace block.
+
+    BOUNDED meshes only: flat-roll wrap planes coincide with boundary
+    faces, which the mask replaces with own traces, so windowed junk is
+    never read (ops/elastic.py ghost convention).  Classes are chained
+    through one shared output buffer via input_output_aliases (each call
+    writes only its class's lane blocks, in place).
+
+    Returns None when constraints are unmet (caller falls back to the
+    XLA loop exchange).
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bx = _exchange_block_size(ex)
+    NC = int(np.prod(ex.grid))
+    m = ex.m
+    if bx is None or E != m * NC or E_pad != E:
+        return None
+    NB = NC // bx
+    nf, nfp = ex.n_faces, ex.n_fp
+    rows_tr = C * d.ftpp
+    ftp = nf * nfp
+    f2, pi = derive_pairing(ex)
+    strides = _flat_strides(ex.grid)
+    nsel = _rup(C * nfp, 8)
+
+    # per-class static tables
+    plans = []
+    for t in range(m):
+        faces = []
+        P_t = np.zeros((nf, nsel, rows_tr), dtype=np.float32)
+        for f in range(nf):
+            t2 = int(ex.nbr_class[t, f])
+            s = int(np.dot(ex.shift[t, f], strides))
+            g = int(f2[t, f])
+            for c in range(C):
+                P_t[f, c * nfp + np.arange(nfp),
+                    c * d.ftpp + g * nfp + pi[t, f]] = 1.0
+            faces.append((t2, s))
+        mask = np.zeros((8, NC), dtype=np.float32)
+        for f in range(nf):
+            mask[f] = ex.self_mask[t, f].reshape(-1).astype(np.float32)
+        plans.append((faces, jnp.asarray(P_t.reshape(nf * nsel, rows_tr)),
+                      jnp.asarray(mask)))
+
+    sign = -1.0 if negate else 1.0
+
+    def kernel(nf_, windows, *refs):
+        # refs: [buf(ANY), own, mask, P, face blocks..., out]
+        own_ref, mask_ref, p_ref = refs[1], refs[2], refs[3]
+        blocks = refs[4:-1]
+        out_ref = refs[-1]
+        k = 0
+        sels = []
+        for f in range(nf_):
+            kind, s = windows[f]
+            if kind == 1:
+                win = blocks[k][:]
+                k += 1
+            else:
+                A, Bb = blocks[k][:], blocks[k + 1][:]
+                k += 2
+                win = jnp.concatenate([A[:, s:], Bb[:, : s]], axis=1)
+            # one-hot row permutation; 2-pass onehot scheme (consistent
+            # with the operator kernels' x3 precision, ~2^-16 rel)
+            sel = _dot(p_ref[f * nsel : (f + 1) * nsel, :], win,
+                       onehot=True)
+            sels.append(sel)
+        for c in range(C):
+            parts = []
+            for f in range(nf_):
+                own = own_ref[c * d.ftpp + f * nfp
+                              : c * d.ftpp + f * nfp + nfp, :]
+                nbr = sign * sels[f][c * nfp : (c + 1) * nfp, :]
+                mk = mask_ref[f : f + 1, :] != 0.0
+                parts.append(jnp.where(mk, own, nbr))
+            blk = jnp.concatenate(parts, axis=0)
+            if d.ftpp != ftp:
+                blk = jnp.pad(blk, ((0, d.ftpp - ftp), (0, 0)))
+            out_ref[c * d.ftpp : (c + 1) * d.ftpp, :] = blk
+
+    def class_call(buf, tr, t, alias):
+        faces, P_t, mask_t = plans[t]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased buffer
+            pl.BlockSpec((rows_tr, bx), lambda j, t=t: (0, t * NB + j),
+                         memory_space=pltpu.VMEM),  # own
+            pl.BlockSpec((8, bx), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),  # mask (per-class array)
+            pl.BlockSpec((nf * nsel, rows_tr), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),  # P
+        ]
+        args = [buf, tr, mask_t, P_t]
+        windows = []
+        for t2, s in faces:
+            base = t2 * NB
+            if s % bx == 0:
+                o = s // bx
+                windows.append((1, 0))
+                in_specs.append(pl.BlockSpec(
+                    (rows_tr, bx),
+                    lambda j, base=base, o=o: (
+                        0, base + jnp.clip(j + o, 0, NB - 1)),
+                    memory_space=pltpu.VMEM))
+                args.append(tr)
+            else:
+                oA = s // bx  # floor division: s<0 -> -1, 0<s<bx -> 0
+                sm = s - oA * bx  # in (0, bx)
+                windows.append((2, sm))
+                for o in (oA, oA + 1):
+                    in_specs.append(pl.BlockSpec(
+                        (rows_tr, bx),
+                        lambda j, base=base, o=o: (
+                            0, base + jnp.clip(j + o, 0, NB - 1)),
+                        memory_space=pltpu.VMEM))
+                    args.append(tr)
+        return pl.pallas_call(
+            _ft.partial(kernel, nf, tuple(windows)),
+            grid=(NB,),
+            out_shape=jax.ShapeDtypeStruct((rows_tr, E), tr.dtype),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (rows_tr, bx), lambda j, t=t: (0, t * NB + j),
+                memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0} if alias else {},
+            interpret=interpret,
+        )(*args)
+
+    def exchange(tr_lm: jax.Array) -> jax.Array:
+        # the first call allocates the buffer WITHOUT aliasing (its other
+        # class blocks hold junk until their calls write them — every
+        # block is written exactly once, and junk blocks are never read);
+        # subsequent calls write their class's blocks in place
+        buf = class_call(tr_lm, tr_lm, 0, alias=False)
+        for t in range(1, m):
+            buf = class_call(buf, tr_lm, t, alias=True)
+        return buf
+
+    return exchange
+
+
 def make_trace_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
                         E: int, E_pad: int, negate: bool):
     """(C*ftpp, E_pad) producer-emitted traces -> consumer-ordered traces:
@@ -245,6 +429,7 @@ class FusedLaneRunner:
         record_pressure: bool = False,
         block: int = DEFAULT_BLOCK,
         interpret: bool = False,
+        exchange_impl: str = "auto",
     ):
         if order != 4:
             raise ValueError("FusedLaneRunner is LF4-only (use the v1 lane "
@@ -292,8 +477,24 @@ class FusedLaneRunner:
                 self.dtype),
         )
 
-        self.ex_t = make_trace_exchange(ex, d, d.dim, E, E_pad, negate=True)
-        self.ex_u = make_trace_exchange(ex, d, d.dim, E, E_pad, negate=False)
+        # exchange backend: Pallas kernel when the mesh satisfies its
+        # constraints (bounded, class-block-divisible lanes), XLA loop
+        # otherwise; exchange_impl forces one ('pallas' | 'loop' | 'auto')
+        self.ex_t = self.ex_u = None
+        if exchange_impl in ("auto", "pallas"):
+            self.ex_t = make_pallas_exchange(
+                ex, d, d.dim, E, E_pad, negate=True, interpret=interpret)
+            self.ex_u = make_pallas_exchange(
+                ex, d, d.dim, E, E_pad, negate=False, interpret=interpret)
+        if exchange_impl == "pallas" and self.ex_t is None:
+            raise ValueError("mesh does not satisfy the pallas-exchange "
+                             "constraints (see make_pallas_exchange)")
+        self.exchange_impl = "pallas" if self.ex_t is not None else "loop"
+        if self.ex_t is None:
+            self.ex_t = make_trace_exchange(ex, d, d.dim, E, E_pad,
+                                            negate=True)
+            self.ex_u = make_trace_exchange(ex, d, d.dim, E, E_pad,
+                                            negate=False)
 
         # XLA damp multiply for u (s-damp is folded into the final stress
         # kernel; u' must be damped AFTER its traces feed the sh1 stage,

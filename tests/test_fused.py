@@ -127,6 +127,62 @@ def test_fused_eigenmode_accuracy():
     assert err < err_ref * 1.05 + 1e-7, (err, err_ref)
 
 
+def test_pallas_exchange_matches_loop():
+    """Pallas exchange kernel vs XLA loop exchange, bounded 3D mesh sized
+    to satisfy the class-block constraints (NC divisible by the lane
+    block)."""
+    from seigen_tpu.ops.fused_kernels import build_fused_data
+    from seigen_tpu.solver.lane_fused import (
+        make_pallas_exchange,
+        make_trace_exchange,
+    )
+
+    extents = ((0.0, 1.0),) * 3
+    dm = build_discrete(
+        box_mesh(8, 8, 8), 1,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[(2, "hi")]))
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    d = build_fused_data(p)
+    E = dm.num_elements
+    rng = np.random.default_rng(3)
+    for negate in (True, False):
+        xp = make_pallas_exchange(ex, d, d.dim, E, E, negate=negate,
+                                  interpret=True)
+        assert xp is not None, "mesh should satisfy pallas-X constraints"
+        xl = make_trace_exchange(ex, d, d.dim, E, E, negate=negate)
+        tr = jnp.asarray(
+            rng.standard_normal((d.dim * d.ftpp, E)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(xp(tr)), np.asarray(xl(tr)), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_exchange_full_run():
+    """End-to-end fused run with the pallas exchange vs the loop exchange."""
+    extents = ((0.0, 1.0),) * 3
+    dm = build_discrete(
+        box_mesh(8, 8, 8), 1,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[(2, "hi")]))
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0, radius=0.25)],
+        dtype=jnp.float32)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 3), jnp.float32),
+               s=jnp.zeros((E, n_p, 6), jnp.float32))
+    rp = FusedLaneRunner(p, ex, dt, order=4, src=src, block=128,
+                         interpret=True, exchange_impl="pallas")
+    rl = FusedLaneRunner(p, ex, dt, order=4, src=src, block=128,
+                         interpret=True, exchange_impl="loop")
+    assert rp.exchange_impl == "pallas" and rl.exchange_impl == "loop"
+    outp, _ = rp.run(st, 4)
+    outl, _ = rl.run(st, 4)
+    np.testing.assert_allclose(
+        np.asarray(outp.u), np.asarray(outl.u), rtol=2e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("step0", [0, 5])
 def test_fused_step0_offset(step0):
     """step0 shifts the source wavelet phase exactly like the v1 path."""
