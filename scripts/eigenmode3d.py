@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--sizes", type=str, default="2,4",
                     help="N per axis (6*N^3 tets)")
     ap.add_argument("--order", type=int, default=4, choices=[2, 4])
+    ap.add_argument("--scheme", choices=["lf", "upwind-rk4"], default="lf",
+                    help="'lf': central flux + leapfrog (reference parity); "
+                         "'upwind-rk4': Godunov flux + RK4 (restores clean "
+                         "q+1 orders at odd degrees)")
     ap.add_argument("--cfl", type=float, default=0.4)
     ap.add_argument("--periods", type=float, default=0.5)
     ap.add_argument("--f64", action="store_true")
@@ -63,14 +67,29 @@ def main():
                         args.cfl)
             n_steps = int(np.ceil(T / dt))
             dt = T / n_steps
-            st = State(
-                u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
-                s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt),
-                              dtype=dtype),
-            )
-            fin, _ = jax.jit(
-                lambda p, st: run(p, st, dt, n_steps, order=args.order)
-            )(p, st)
+            if args.scheme == "upwind-rk4":
+                from seigen_tpu.ops.upwind import build_upwind_data
+                from seigen_tpu.solver.rk4 import run_rk4
+
+                wdata = build_upwind_data(dm, mat, dtype=dtype)
+                # co-located ICs at t=0 (no staggering with RK4)
+                st = State(
+                    u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
+                    s=jnp.asarray(interpolate(dm, pw.sigma, 0.0),
+                                  dtype=dtype),
+                )
+                fin, _ = jax.jit(
+                    lambda p, w, st: run_rk4(p, w, st, dt, n_steps)
+                )(p, wdata, st)
+            else:
+                st = State(
+                    u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
+                    s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt),
+                                  dtype=dtype),
+                )
+                fin, _ = jax.jit(
+                    lambda p, st: run(p, st, dt, n_steps, order=args.order)
+                )(p, st)
             err = l2_error(dm, np.asarray(fin.u), pw.u, n_steps * dt)
             rows.append({"N": N, "h": 1.0 / N, "steps": n_steps,
                          "l2_error_u": err})

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--receivers", type=int, default=16)
     ap.add_argument("--shards", type=int, default=0,
                     help="run mesh-sharded over this many devices")
+    ap.add_argument("--dist-impl", choices=["auto", "lane", "general"],
+                    default="auto",
+                    help="sharded backend: 'lane' = slab-sharded lane-major "
+                         "Pallas pipeline (structured meshes, shards | G0); "
+                         "'general' = unstructured ppermute halo path; "
+                         "'auto' picks lane when eligible")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--vtk", type=str, default=None,
@@ -156,15 +162,43 @@ def main():
 
     seis_chunks = []
     if args.shards:
-        from seigen_tpu.parallel import run_distributed
+        # production config-5 pipeline: slab-sharded lane-major Pallas
+        # kernels when the mesh allows it (structured, shards | G0),
+        # general unstructured ppermute halo path otherwise
+        runner = None
+        if args.dist_impl == "lane" and args.scheme != "lf":
+            raise SystemExit("--dist-impl lane supports --scheme lf only")
+        if args.dist_impl in ("auto", "lane") and args.scheme == "lf":
+            from seigen_tpu.ops.structured_exchange import detect_structured
+            from seigen_tpu.parallel.lane_sharded import ShardedLaneRunner
 
-        with timer.region("run"):
-            fin, seis, _ = run_distributed(
-                dm, mat, st, dt, n_steps - step0, n_devices=args.shards,
-                order=args.order, sources=src, damp=damp, receivers=rcv,
-                dtype=dtype, step0=step0,
-            )
-            seis_chunks.append(seis)
+            ex = detect_structured(dm)
+            if ex is not None and ex.grid[0] % args.shards == 0:
+                runner = ShardedLaneRunner(
+                    p, ex, dt, args.shards, order=args.order, src=src,
+                    damp=damp, receivers=rcv,
+                    interpret=jax.devices()[0].platform == "cpu",
+                )
+            elif args.dist_impl == "lane":
+                raise SystemExit(
+                    "--dist-impl lane needs a structured mesh with "
+                    f"shards | G0 (got grid={None if ex is None else ex.grid})")
+        if runner is not None:
+            print(f"sharded path: lane (slab x{args.shards})")
+            with timer.region("run"):
+                fin, seis = runner.run(st, n_steps - step0, step0=step0)
+                seis_chunks.append(seis)
+        else:
+            print(f"sharded path: general (ppermute x{args.shards})")
+            from seigen_tpu.parallel import run_distributed
+
+            with timer.region("run"):
+                fin, seis, _ = run_distributed(
+                    dm, mat, st, dt, n_steps - step0, n_devices=args.shards,
+                    order=args.order, sources=src, damp=damp, receivers=rcv,
+                    dtype=dtype, step0=step0,
+                )
+                seis_chunks.append(seis)
         st = fin
         step0 = n_steps
     else:

@@ -127,6 +127,7 @@ def build_discrete(
     topo: MeshTopology,
     degree: int,
     bc_fn=None,
+    bc_groups: dict | None = None,
 ) -> DiscreteMesh:
     """Build the device-ready discrete mesh for DG degree `degree`.
 
@@ -134,6 +135,13 @@ def build_discrete(
     codes to non-periodic boundary faces; default is all-free-surface
     (reference parity: Seigen's eigenmode/explosive tests use free surfaces,
     SURVEY.md §4.4).
+
+    ``bc_groups`` maps named boundary facet groups (Gmsh physical groups,
+    ``topo.facet_groups`` from ``read_msh``) to BC codes, e.g.
+    ``{"surface": BC_FREE, "sides": BC_ABSORB}`` — the rebuild equivalent of
+    the reference attaching DirichletBC/weak BCs to Gmsh physical surface
+    ids (SURVEY.md §4.4).  Boundary faces in no listed group keep the
+    ``bc_fn`` / free-surface default; listed groups take precedence.
     """
     dim = topo.dim
     re = ref_elem(dim, degree)
@@ -261,6 +269,22 @@ def build_discrete(
             codes = np.asarray(
                 bc_fn(centroids, normals[be, bf]), dtype=np.int8
             )
+        if bc_groups:
+            fg = topo.facet_groups or {}
+            unknown = set(bc_groups) - set(fg)
+            if unknown:
+                raise ValueError(
+                    f"bc_groups names not in mesh facet_groups: "
+                    f"{sorted(unknown)} (available: {sorted(fg)})")
+            facet_code: dict[tuple, int] = {}
+            for name, code in bc_groups.items():
+                for fac in fg[name]:
+                    facet_code[tuple(sorted(canon[fac].tolist()))] = code
+            for j, (e, f) in enumerate(zip(be, bf)):
+                key = tuple(sorted(
+                    canon[cells[e, re.face_vertices[f]]].tolist()))
+                if key in facet_code:
+                    codes[j] = facet_code[key]
         bc[be, bf] = codes
 
     # sanity: verify paired nodes coincide geometrically (periodic-shifted).

@@ -28,6 +28,9 @@ class MeshTopology:
     extents: tuple  # ((x0, x1), (y0, y1)[, (z0, z1)]) bounding box
     periodic: tuple = ()  # axes with periodic identification, e.g. (0, 1)
     structure: tuple | None = None  # ((grid dims), simplices per cell)
+    # named boundary facet groups (Gmsh physical groups): name -> (F, dim)
+    # facet vertex-id array; consumed by build_discrete(bc_groups=...)
+    facet_groups: dict | None = None
 
     @property
     def dim(self) -> int:

@@ -42,6 +42,26 @@ def test_explosive_source_cli_sharded(tmp_path):
     assert np.all(np.isfinite(z["seismograms"]))
 
 
+def test_explosive_source_cli_sharded_lane_vs_general(tmp_path):
+    """--shards auto routes structured meshes through the lane-sharded
+    production pipeline; seismograms match the general ppermute path."""
+    out_l = str(tmp_path / "lane.npz")
+    out_g = str(tmp_path / "gen.npz")
+    rl = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                  "--degree", "1", "--T", "0.1", "--cpu", "--shards", "4",
+                  "--out", out_l])
+    assert rl.returncode == 0, rl.stdout + rl.stderr
+    assert "sharded path: lane" in rl.stdout, rl.stdout
+    rg = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                  "--degree", "1", "--T", "0.1", "--cpu", "--shards", "4",
+                  "--dist-impl", "general", "--out", out_g])
+    assert rg.returncode == 0, rg.stdout + rg.stderr
+    assert "sharded path: general" in rg.stdout, rg.stdout
+    sl = np.load(out_l)["seismograms"]
+    sg = np.load(out_g)["seismograms"]
+    np.testing.assert_allclose(sl, sg, rtol=2e-4, atol=1e-7)
+
+
 def test_explosive_source_cli_resume(tmp_path):
     ck = str(tmp_path / "ck.npz")
     r1 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
