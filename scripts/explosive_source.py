@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--cfl", type=float, default=0.4)
     ap.add_argument("--f0", type=float, default=None,
                     help="Ricker peak frequency (default: resolution-scaled)")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="Gmsh .msh file (overrides --dim/--n; source/"
+                         "receivers placed extent-relative)")
+    ap.add_argument("--bc-free", type=str, default=None,
+                    help="comma-separated Gmsh physical group names mapped "
+                         "to free-surface BCs")
+    ap.add_argument("--bc-absorb", type=str, default=None,
+                    help="comma-separated Gmsh physical group names mapped "
+                         "to absorbing BCs")
     ap.add_argument("--layered", action="store_true",
                     help="layered + salt-body heterogeneous model (config 4)")
     ap.add_argument("--receivers", type=int, default=16)
@@ -100,22 +109,50 @@ def main():
     timer = RegionTimer()
 
     with timer.region("setup"):
-        extents = ((0.0, 2.0), (0.0, 1.0)) if dim == 2 else (
-            (0.0, 1.0), (0.0, 1.0), (0.0, 1.0))
+        if args.mesh:
+            from seigen_tpu.mesh.gmsh_io import read_msh
+
+            topo = read_msh(args.mesh)
+            dim = topo.dim
+            extents = topo.extents
+        else:
+            extents = ((0.0, 2.0), (0.0, 1.0)) if dim == 2 else (
+                (0.0, 1.0), (0.0, 1.0), (0.0, 1.0))
+            if dim == 2:
+                topo = rect_mesh(2 * args.n, args.n, lx=2.0, ly=1.0)
+            else:
+                topo = box_mesh(args.n, args.n, args.n)
         if dim == 2:
-            topo = rect_mesh(2 * args.n, args.n, lx=2.0, ly=1.0)
             free = [(1, "hi")]
             absorb = [(0, "lo"), (0, "hi"), (1, "lo")]
-            src_pos = (1.0, 0.8)
-            rec_a, rec_b = (0.2, 0.95), (1.8, 0.95)
         else:
-            topo = box_mesh(args.n, args.n, args.n)
             free = [(2, "hi")]
             absorb = [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi"), (2, "lo")]
-            src_pos = (0.5, 0.5, 0.8)
-            rec_a, rec_b = (0.1, 0.5, 0.95), (0.9, 0.5, 0.95)
+
+        def frac(fr):  # extent-relative positions (imported meshes too)
+            return tuple(lo + f * (hi - lo)
+                         for f, (lo, hi) in zip(fr, extents))
+
+        if dim == 2:
+            src_pos = frac((0.5, 0.8))
+            rec_a, rec_b = frac((0.1, 0.95)), frac((0.9, 0.95))
+        else:
+            src_pos = frac((0.5, 0.5, 0.8))
+            rec_a, rec_b = frac((0.1, 0.5, 0.95)), frac((0.9, 0.5, 0.95))
+        bc_groups = None
+        if args.bc_free or args.bc_absorb:
+            from seigen_tpu.mesh.discrete import BC_ABSORB, BC_FREE
+
+            bc_groups = {}
+            for name in (args.bc_free or "").split(","):
+                if name:
+                    bc_groups[name] = BC_FREE
+            for name in (args.bc_absorb or "").split(","):
+                if name:
+                    bc_groups[name] = BC_ABSORB
         dm = build_discrete(
-            topo, args.degree, bc_fn=absorbing_bc_fn(extents, free))
+            topo, args.degree, bc_fn=absorbing_bc_fn(extents, free),
+            bc_groups=bc_groups)
 
         if args.layered:
             depth_hi = extents[-1][1]

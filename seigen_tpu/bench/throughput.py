@@ -46,8 +46,14 @@ def setup_case(
     degree: int = 3,
     dtype=jnp.float32,
     dim: int = 3,
+    scramble: bool = False,
 ):
-    """3D explosive-source case: unit box, free top, absorbing elsewhere."""
+    """3D explosive-source case: unit box, free top, absorbing elsewhere.
+
+    ``scramble`` randomly permutes cell order and drops the structure
+    metadata — the honest stand-in for a Gmsh unstructured import
+    (benchmarks the unstructured path on identical geometry/physics).
+    """
     extents = ((0.0, 1.0),) * dim
     if dim == 3:
         topo = box_mesh(n, n, n)
@@ -61,6 +67,13 @@ def setup_case(
         free = [(1, "hi")]
         absorb = [(0, "lo"), (0, "hi"), (1, "lo")]
         src_pos = (0.5, 0.8)
+    if scramble:
+        import dataclasses
+
+        rng = np.random.default_rng(0)
+        topo = dataclasses.replace(
+            topo, cells=topo.cells[rng.permutation(topo.num_cells)],
+            structure=None)
     bc_fn = absorbing_bc_fn(extents, free_sides=free)
     dm = build_discrete(topo, degree, bc_fn=bc_fn)
     mat = Material(rho=1.0, vp=2.0, vs=1.0)
@@ -89,18 +102,26 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
-    if impl in ("lane", "fused"):
-        from ..ops.structured_exchange import detect_structured
+    if impl in ("lane", "fused", "lane_u"):
+        if impl == "lane_u":
+            from ..solver.lane_unstructured import UnstructuredLaneRunner
 
-        ex = detect_structured(dm)
-        if ex is None:
-            raise ValueError(f"{impl} impl requires a structured mesh")
+            runner = UnstructuredLaneRunner(
+                p, dt, order=order, src=src, damp=damp,
+                centroids=np.asarray(dm.coords.mean(axis=1)))
+            ex = None
+        else:
+            from ..ops.structured_exchange import detect_structured
+
+            ex = detect_structured(dm)
+            if ex is None:
+                raise ValueError(f"{impl} impl requires a structured mesh")
         if impl == "fused":
             from ..solver.lane_fused import FusedLaneRunner
 
             runner = FusedLaneRunner(p, ex, dt, order=order, src=src,
                                      damp=damp)
-        else:
+        elif impl == "lane":
             from ..solver.lane_major import LaneMajorRunner
 
             runner = LaneMajorRunner(p, ex, dt, order=order, src=src,
@@ -184,7 +205,8 @@ def main(n: int = 24, degree: int = 3, n_steps: int = 50,
         # regresses on a new runtime
         errors = {}
         res = None
-        for candidate in ("lane", "pallas_roll", "xla_roll", "einsum"):
+        for candidate in ("fused", "lane", "pallas_roll", "xla_roll",
+                          "einsum"):
             try:
                 res = measure(p, src, damp, dt, state0, n_steps=n_steps,
                               impl=candidate, dm=dm)

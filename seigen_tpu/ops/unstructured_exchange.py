@@ -1,0 +1,183 @@
+"""Unstructured lane-major trace exchange — the general-mesh fast path.
+
+Round-1's general path gathered neighbour traces from the FULL field array
+at face-node granularity (ops/pallas_kernels.py _gather_traces: E*ftp rows),
+measured row-count-bound at ~4 GB/s — the 22x unstructured cliff
+(VERDICT.md missing item 2).  This module rebuilds the exchange on three
+observations:
+
+1. **Conforming DG face pairing is a bijection on faces.**  Every interior
+   face (e, f) has exactly one partner (e2, f2) plus a node permutation
+   k2 in a SMALL orientation set (<= 2 in 2D, <= 6 in 3D: the symmetries of
+   the facet simplex); boundary faces self-pair with the identity.  So the
+   exchange is: one row-take at FACE granularity (E*nf rows, nfp x fewer
+   than node granularity) + a handful of static node-permutation matmuls
+   applied to contiguous row groups (consumers pre-sorted by orientation,
+   folded into the take's row order).
+
+2. **Compact payloads.**  The take moves (nfp*C)-wide face rows of the
+   extracted trace array, not field rows.
+
+3. **Locality ordering.**  Elements are pre-permuted along a Morton curve
+   (parallel/partition.py) so neighbour rows are mostly nearby — gather
+   locality and future slab-sharding both benefit.
+
+The consumer-side API matches solver/lane_major.make_exchange_lm:
+(C*npp, E_pad) lane-major field -> (C*ftpp, E_pad) neighbour traces in
+consumer order; ghost/BC semantics stay in the flux coefficients
+(ops/elastic.py beta/delta), so no masks are needed here.
+
+Equivalence oracle: ops.pallas_kernels._gather_traces einsum twin
+(tests/test_unstructured.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rup(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class FacePairing:
+    """Face-bijection form of a mesh's trace connectivity.
+
+    e2/f2: producer element/face per consumer face (E, nf); k2 (E, nf, nfp):
+    consumer node k reads producer face node k2.  Boundary faces self-pair
+    (e2 = e, f2 = f, k2 = identity).
+    """
+
+    e2: np.ndarray
+    f2: np.ndarray
+    k2: np.ndarray
+    n_p: int
+    n_faces: int
+    n_fp: int
+
+
+def derive_face_pairing(nbr: np.ndarray, n_p: int, fnodes) -> FacePairing:
+    """Decode (E, nf, nfp) neighbour NODE ids into the face bijection.
+
+    ``nbr`` indexes the flat (E*n_p) node space (ops/elastic.py
+    ElasticParams.nbr); every node of a consumer face must come from one
+    producer element and one producer face (conforming mesh).
+    """
+    nbr = np.asarray(nbr)
+    E, nf, nfp = nbr.shape
+    fn = np.asarray(fnodes)  # (nf, nfp)
+    e2 = nbr[:, :, 0] // n_p
+    assert (nbr // n_p == e2[:, :, None]).all(), "face spans elements"
+    ln = nbr % n_p  # producer-local node ids (E, nf, nfp)
+
+    # f2: the unique producer face whose node set matches
+    key = np.sort(ln, axis=2)  # (E, nf, nfp)
+    fkey = np.sort(fn, axis=1)  # (nf, nfp)
+    match = (key[:, :, None, :] == fkey[None, None, :, :]).all(axis=3)
+    assert (match.sum(axis=2) == 1).all(), "no unique producer face"
+    f2 = match.argmax(axis=2).astype(np.int64)
+
+    # k2: position of each consumer-slot node within fnodes[f2]
+    pos = np.full((nf, n_p), -1, dtype=np.int64)
+    for f in range(nf):
+        pos[f, fn[f]] = np.arange(nfp)
+    k2 = pos[f2[:, :, None], ln]
+    assert (k2 >= 0).all()
+    return FacePairing(e2=e2, f2=f2, k2=k2, n_p=n_p, n_faces=nf, n_fp=nfp)
+
+
+def permute_pairing(pr: FacePairing, old_of_new: np.ndarray,
+                    new_of_old: np.ndarray) -> FacePairing:
+    """Re-express a pairing under an element permutation."""
+    return FacePairing(
+        e2=new_of_old[pr.e2[old_of_new]],
+        f2=pr.f2[old_of_new],
+        k2=pr.k2[old_of_new],
+        n_p=pr.n_p, n_faces=pr.n_faces, n_fp=pr.n_fp,
+    )
+
+
+def orientation_groups(pr: FacePairing):
+    """Group consumer faces by their node permutation k2.
+
+    Returns (gid (E, nf) int group ids, perms (G, nfp)): k2[e, f] ==
+    perms[gid[e, f]].  G is bounded by the facet symmetry count (+identity).
+    """
+    E, nf, nfp = pr.k2.shape
+    flat = pr.k2.reshape(E * nf, nfp)
+    perms, gid = np.unique(flat, axis=0, return_inverse=True)
+    return gid.reshape(E, nf), perms
+
+
+def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
+                                  C: int, E: int, E_pad: int, fnodes):
+    """(C*npp, E_pad) field -> (C*ftpp, E_pad) consumer traces.
+
+    Lane-take formulation, from the measured TPU cost model
+    (bench/gather_probe.py at E=83k): row-granularity takes are ROW-COUNT
+    bound (~4.9 ms for E*nf rows at any width — unusable), while lane-axis
+    takes are INDEX bound (~1.1 ms for E indices, FLAT in row count).  So
+    the exchange moves whole trace-row panels with one lane take per
+    consumer face:
+
+      1. static own-trace extraction T0 (C, nf, nfp, E), then per-face
+         node pre-permutation into each face's CONSUMER order (the pairing
+         bijection gives every producer face exactly one consumer) via a
+         one-hot einsum — per-lane row permutations cannot ride a static
+         matmul, but an (nfp, nfp, E) int8 one-hot contracts on the VPU in
+         one pass;
+      2. per consumer face f: one lane take tmp = T'[:, :, :, e2[:, f]]
+         (flat in rows), then an nf-way where-select over the producer
+         face axis (f2 varies per lane).
+
+    Boundary faces self-pair with identity, so ghost/BC semantics stay in
+    the flux coefficients exactly as in the einsum path.
+    """
+    nf, nfp = pr.n_faces, pr.n_fp
+    ftp = nf * nfp
+    fn = np.asarray(fnodes)
+
+    # distribute each consumer's node permutation to its producer face:
+    # producer face (e2, f2) emits node slot k holding its local face node
+    # k2[e, f, k] (consumer order)
+    k2_prod = np.tile(np.arange(nfp), (E, nf, 1))
+    e2f, f2f = pr.e2.reshape(-1), pr.f2.reshape(-1)
+    k2f = pr.k2.reshape(E * nf, nfp)
+    k2_prod[e2f, f2f] = k2f
+    nontrivial = bool((k2_prod != np.arange(nfp)).any())
+    # one-hot (nf, nfp_out, nfp_in, E) int8; exact in any float dtype
+    oh = None
+    if nontrivial:
+        oh_np = (k2_prod.transpose(1, 2, 0)[:, :, None, :]
+                 == np.arange(nfp)[None, None, :, None])
+        oh = jnp.asarray(oh_np.astype(np.int8))
+
+    take_e2 = jnp.asarray(pr.e2.T.copy(), jnp.int32)  # (nf, E)
+    f2_sel = jnp.asarray(pr.f2.T.copy(), jnp.int32)  # (nf, E)
+
+    def exchange(f_lm: jax.Array) -> jax.Array:
+        Fp = f_lm.reshape(C, npp, E_pad)[:, :, :E]
+        T = Fp[:, fn.reshape(-1), :].reshape(C, nf, nfp, E)
+        if oh is not None:
+            # producer-side pre-permutation into consumer node order
+            T = jnp.einsum("cfje,fkje->cfke", T, oh.astype(f_lm.dtype))
+        T = T.reshape(C * ftp, E)
+        face_blocks = []
+        for f in range(nf):
+            tmp = jnp.take(T, take_e2[f], axis=1)  # (C*ftp, E)
+            t4 = tmp.reshape(C, nf, nfp, E)
+            acc = t4[:, 0]
+            for g in range(1, nf):
+                acc = jnp.where((f2_sel[f] == g)[None, None, :],
+                                t4[:, g], acc)
+            face_blocks.append(acc)  # (C, nfp, E)
+        out = jnp.stack(face_blocks, axis=1).reshape(C, ftp, E)
+        out = jnp.pad(out, ((0, 0), (0, ftpp - ftp), (0, E_pad - E)))
+        return out.reshape(C * ftpp, E_pad)
+
+    return exchange

@@ -1,0 +1,164 @@
+"""Adjoint / FWI slice: differentiable misfits and material gradients.
+
+The forward solver is a ``lax.scan`` of pure operator applications over a
+registered-pytree ``ElasticParams`` whose material arrays (lam, mu,
+inv_rho) are data leaves — so the whole simulation is reverse-mode
+differentiable by construction.  This module adds what a full-waveform
+inversion (FWI) loop needs on top:
+
+- ``run_segmented``: the forward scan split into ``jax.checkpoint``-ed
+  segments, trading recompute for O(segment + n_steps/segment) stored
+  states instead of O(n_steps) — the standard adjoint checkpointing
+  pattern, expressed as two nested scans instead of a tape.
+- ``with_material``: re-assemble ElasticParams from (vp, vs, rho) element
+  arrays with jnp ops (geometry untouched) so gradients flow to the
+  geophysical parametrization.
+- ``seismogram_misfit`` / ``make_fwi_gradient``: 0.5 * ||seis - obs||^2 at
+  the receivers and its value-and-gradient wrt chosen material fields.
+
+This goes beyond the reference (forward modelling only); it is the tool
+the differentiable-TPU rebuild uniquely enables (ROADMAP #8).  Central-flux
+LF2/LF4 path; gradient-checked against finite differences in
+tests/test_adjoint.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.elastic import ElasticParams
+from .receivers import ReceiverData, sample
+from .source import SourceData
+from .timestep import State, make_step
+
+
+def run_segmented(
+    p: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    segment: int | None = None,
+    order: int = 4,
+    src: SourceData | None = None,
+    damp: jax.Array | None = None,
+    receivers: ReceiverData | None = None,
+    step0: int = 0,
+):
+    """Like solver.timestep.run, but with rematerialized segments.
+
+    ``segment`` must divide n_steps; None runs one plain (fully stored)
+    scan.  Returns (final State, seismograms or None).
+    """
+    step = make_step(p, dt, order=order, src=src, damp=damp)
+    dtype = p.Ginv.dtype
+    dt_ = jnp.asarray(dt, dtype=dtype)
+
+    def body(state, n):
+        state = step(state, n.astype(dtype) * dt_)
+        ys = sample(receivers, state.u) if receivers is not None else None
+        return state, ys
+
+    if segment is None or segment >= n_steps:
+        return jax.lax.scan(body, state0,
+                            jnp.arange(step0, step0 + n_steps))
+    if n_steps % segment:
+        raise ValueError(f"segment {segment} must divide n_steps {n_steps}")
+
+    @jax.checkpoint
+    def chunk(state, n0):
+        return jax.lax.scan(body, state, n0 + jnp.arange(segment))
+
+    fin, ys = jax.lax.scan(
+        chunk, state0,
+        step0 + segment * jnp.arange(n_steps // segment))
+    if ys is not None:
+        ys = ys.reshape((n_steps,) + ys.shape[2:])
+    return fin, ys
+
+
+def with_material(p: ElasticParams, vp=None, vs=None, rho=None
+                  ) -> ElasticParams:
+    """Re-assemble params from per-element (vp, vs, rho) with jnp ops.
+
+    Geometry/connectivity/flux coefficients are reused; only the material
+    leaves change, so this is safe inside jit/grad and gradients flow to
+    the geophysical parametrization (lam = rho (vp^2 - 2 vs^2),
+    mu = rho vs^2).
+    """
+    dtype = p.Ginv.dtype
+    if rho is None:
+        rho = 1.0 / p.inv_rho
+    rho = jnp.asarray(rho, dtype)
+    if vs is None:
+        vs = jnp.sqrt(p.mu * p.inv_rho)
+    vs = jnp.asarray(vs, dtype)
+    if vp is None:
+        vp = jnp.sqrt((p.lam + 2 * p.mu) * p.inv_rho)
+    vp = jnp.asarray(vp, dtype)
+    mu = rho * vs * vs
+    lam = rho * (vp * vp - 2 * vs * vs)
+    return dataclasses.replace(p, lam=lam, mu=mu, inv_rho=1.0 / rho)
+
+
+def seismogram_misfit(
+    p: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    src: SourceData,
+    receivers: ReceiverData,
+    observed: jax.Array,
+    order: int = 4,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+) -> jax.Array:
+    """0.5 * sum((seis - observed)^2) over (n_steps, R, dim)."""
+    _, seis = run_segmented(
+        p, state0, dt, n_steps, segment=segment, order=order, src=src,
+        damp=damp, receivers=receivers)
+    r = seis - observed
+    return 0.5 * jnp.sum(r * r)
+
+
+def make_fwi_gradient(
+    p0: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    src: SourceData,
+    receivers: ReceiverData,
+    observed: jax.Array,
+    fields: tuple = ("vp", "vs"),
+    order: int = 4,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+):
+    """Jitted theta -> (misfit, grads) for theta = {field: (E,) array}.
+
+    ``fields`` from {"vp", "vs", "rho"}; unlisted fields stay at p0's
+    values.  Typical use: start from a smooth background model, descend.
+    """
+
+    @jax.jit
+    def value_and_grad(theta: dict):
+        def loss(theta):
+            p = with_material(p0, **theta)
+            return seismogram_misfit(
+                p, state0, dt, n_steps, src, receivers, observed,
+                order=order, damp=damp, segment=segment)
+
+        return jax.value_and_grad(loss)(theta)
+
+    def init_theta():
+        full = {
+            "vp": jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho),
+            "vs": jnp.sqrt(p0.mu * p0.inv_rho),
+            "rho": 1.0 / p0.inv_rho,
+        }
+        return {k: full[k] for k in fields}
+
+    return value_and_grad, init_theta

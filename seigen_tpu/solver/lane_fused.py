@@ -181,14 +181,16 @@ def _exchange_block_size(ex: StructuredExchange) -> int | None:
         # periodic mesh: flat-roll wrap planes are NOT boundary-masked, so
         # the windowed kernel would read wrapped junk — use the loop path
         return None
-    strides = _flat_strides(ex.grid)
-    smax = int(max(
-        abs(int(np.dot(ex.shift[t, f], strides)))
-        for t in range(ex.m) for f in range(ex.n_faces)))
     if ex.m > 16:
         return None
+    # Any block size works regardless of shift magnitude: a face with shift
+    # s reads blocks (j + s//bx, j + s//bx + 1); blocks clipped out of
+    # [0, NB) are only read by lanes whose element+shift leaves [0, NC),
+    # and on a bounded mesh those faces are boundary faces, replaced by own
+    # traces via the mask (see make_pallas_exchange docstring).  Prefer
+    # small blocks (less VMEM, finer pipeline); need bx | NC and 128 | bx.
     for bx in (256, 384, 512, 768, 1024, 1536, 2048, 2304, 3072, 4096):
-        if bx % 128 == 0 and bx >= smax and NC % bx == 0:
+        if NC % bx == 0:
             return bx
     return None
 

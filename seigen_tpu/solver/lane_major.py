@@ -179,8 +179,10 @@ class LaneMajorRunner:
         self.dtype = p.Ginv.dtype
         self.dt = jnp.asarray(dt, self.dtype)
 
-        # class-major element reordering: contiguous class lane slices
-        old_of_new, new_of_old = class_major_perm(ex, E)
+        # element reordering (structured: class-major for contiguous class
+        # lane slices; subclasses override, e.g. locality order for
+        # unstructured meshes)
+        old_of_new, new_of_old = self._element_perm()
         self._old_of_new = old_of_new
         self._new_of_old = new_of_old
         import dataclasses as _dc
@@ -201,8 +203,7 @@ class LaneMajorRunner:
             mu=permute_cols(d.mu),
         )
 
-        self.ex_u = make_exchange_lm(ex, d, d.dim, E, E_pad)
-        self.ex_s = make_exchange_lm(ex, d, d.n_sig, E, E_pad)
+        self.ex_u, self.ex_s = self._make_exchanges()
 
         # tiled damping rows (permuted to new order)
         if damp is not None:
@@ -241,6 +242,15 @@ class LaneMajorRunner:
             )
         else:
             self.rcv = None
+
+    # --- structured-mesh hooks (overridden by UnstructuredLaneRunner) ---
+    def _element_perm(self):
+        return class_major_perm(self.ex, self.E)
+
+    def _make_exchanges(self):
+        d, E, E_pad = self.d, self.E, self.E_pad
+        return (make_exchange_lm(self.ex, d, d.dim, E, E_pad),
+                make_exchange_lm(self.ex, d, d.n_sig, E, E_pad))
 
     # --- state conversion (includes the class-major permutation) ---
     def to_lm_state(self, state: State):

@@ -31,7 +31,7 @@ class SimConfig:
     order: int = 4  # LF2 | LF4
     cfl: float = 0.4
     dtype: str = "float32"
-    impl: str = "auto"  # auto | einsum | xla_roll | pallas | pallas_roll | lane
+    impl: str = "auto"  # auto|einsum|xla_roll|pallas|pallas_roll|lane|lane_u
     free_sides: tuple = ()  # ((axis, "lo"|"hi"), ...)
     absorbing_sides: tuple = ()  # rest default to free surface
     sponge_width: float = 0.0
@@ -113,7 +113,7 @@ class ElasticSimulation:
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         if impl == "auto":
             impl = (
-                ("lane" if ex is not None else "pallas")
+                ("lane" if ex is not None else "lane_u")
                 if on_tpu
                 else ("xla_roll" if ex is not None else "einsum")
             )
@@ -126,6 +126,11 @@ class ElasticSimulation:
             from ..ops.pallas_kernels import make_pallas_ops
 
             return make_pallas_ops(self.params, exchange=ex)
+        if impl == "lane_u":
+            # unstructured lane-major fast path; ops for step_fn() parity
+            from ..ops.pallas_kernels import make_pallas_ops
+
+            return make_pallas_ops(self.params)
         if impl == "einsum":
             return apply_vel_op, apply_stress_op
         if impl == "xla_roll":
@@ -170,6 +175,17 @@ class ElasticSimulation:
                     self.params, self._ex, self.dt,
                     order=self.config.order, src=self.sources,
                     damp=self.damp, receivers=self.receivers,
+                )
+            return self._lane_runner.run(state, n_steps)
+        if getattr(self, "_impl", None) == "lane_u":
+            from .lane_unstructured import UnstructuredLaneRunner
+
+            if not hasattr(self, "_lane_runner"):
+                self._lane_runner = UnstructuredLaneRunner(
+                    self.params, self.dt, order=self.config.order,
+                    src=self.sources, damp=self.damp,
+                    receivers=self.receivers,
+                    centroids=np.asarray(self.dm.coords.mean(axis=1)),
                 )
             return self._lane_runner.run(state, n_steps)
         runner = jax.jit(

@@ -62,6 +62,29 @@ def test_explosive_source_cli_sharded_lane_vs_general(tmp_path):
     np.testing.assert_allclose(sl, sg, rtol=2e-4, atol=1e-7)
 
 
+def test_explosive_source_cli_gmsh_mesh(tmp_path):
+    """--mesh with named physical groups drives BCs end-to-end (the
+    reference's production runs: Gmsh mesh + physical-surface BCs)."""
+    from seigen_tpu.mesh import rect_mesh
+    from test_gmsh import _boundary_edges, _write_msh_v2
+
+    topo = rect_mesh(10, 5, lx=2.0, ly=1.0)
+    edges = _boundary_edges(topo)
+    on_top = np.all(np.abs(topo.vertices[edges][:, :, 1] - 1.0) < 1e-12,
+                    axis=1)
+    path = str(tmp_path / "m.msh")
+    _write_msh_v2(path, topo, groups=[("surface", 1, edges[on_top]),
+                                      ("sides", 2, edges[~on_top])])
+    out = str(tmp_path / "seis.npz")
+    r = run_cli(["scripts/explosive_source.py", "--mesh", path,
+                 "--degree", "1", "--T", "0.1", "--cpu",
+                 "--bc-free", "surface", "--bc-absorb", "sides",
+                 "--out", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    z = np.load(out)
+    assert np.all(np.isfinite(z["seismograms"]))
+
+
 def test_explosive_source_cli_resume(tmp_path):
     ck = str(tmp_path / "ck.npz")
     r1 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",

@@ -127,10 +127,13 @@ def test_fused_eigenmode_accuracy():
     assert err < err_ref * 1.05 + 1e-7, (err, err_ref)
 
 
-def test_pallas_exchange_matches_loop():
+@pytest.mark.parametrize("dims", [(8, 8, 8), (2, 16, 16)])
+def test_pallas_exchange_matches_loop(dims):
     """Pallas exchange kernel vs XLA loop exchange, bounded 3D mesh sized
     to satisfy the class-block constraints (NC divisible by the lane
-    block)."""
+    block).  dims (2, 16, 16) makes the flat shift magnitude (~G1*G2)
+    EXCEED the lane block, covering the multi-block window offsets that
+    production sizes hit (e.g. n=40, where bx < smax)."""
     from seigen_tpu.ops.fused_kernels import build_fused_data
     from seigen_tpu.solver.lane_fused import (
         make_pallas_exchange,
@@ -139,7 +142,7 @@ def test_pallas_exchange_matches_loop():
 
     extents = ((0.0, 1.0),) * 3
     dm = build_discrete(
-        box_mesh(8, 8, 8), 1,
+        box_mesh(*dims), 1,
         bc_fn=absorbing_bc_fn(extents, free_sides=[(2, "hi")]))
     p = build_params(dm, MAT, dtype=jnp.float32)
     ex = detect_structured(dm)

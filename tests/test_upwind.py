@@ -52,6 +52,43 @@ def test_upwind_rk4_eigenmode_convergence(degree, min_order):
     assert order > min_order, (errs, order)
 
 
+@pytest.mark.parametrize("degree,min_order",
+                         [(1, 1.7), (2, 2.8), (3, 3.6), (4, 4.2)])
+def test_upwind_rk4_eigenmode3d_convergence(degree, min_order):
+    """3D upwind+RK4 h-convergence at q+1 (-0.3) for P1-P4 ([D] config 3
+    accuracy bar; full 3-point sweeps in results/conv3d_up_*.json, run via
+    scripts/eigenmode3d.py --scheme upwind-rk4: fitted orders
+    1.61 / 3.19 / 4.06 / 4.38, asymptotic pairs 2.03 / 3.30 / 3.74 / 5.01)."""
+    from seigen_tpu.mesh import box_mesh
+
+    mat = MAT
+    pw = PlaneWave(
+        mat=mat,
+        k=2 * np.pi * np.array([1.0, 1.0, 0.0]),
+        mode="S",
+        polarization=np.array([0.0, 0.0, 1.0]),
+    )
+    T = 0.5 * pw.period
+    errs = []
+    for N in [4, 8]:
+        dm = build_discrete(box_mesh(N, N, N, periodic=(0, 1, 2)), degree)
+        p = build_params(dm, mat, dtype=jnp.float64)
+        w = build_upwind_data(dm, mat, dtype=jnp.float64)
+        dt = cfl_dt(dm.h.min(), 2.0, degree, 0.7)
+        n_steps = int(np.ceil(T / dt))
+        dt = T / n_steps
+        st = State(
+            u=jnp.asarray(interpolate(dm, pw.u, 0.0)),
+            s=jnp.asarray(interpolate(dm, pw.sigma, 0.0)),
+        )
+        fin, _ = jax.jit(
+            lambda p, w, st: run_rk4(p, w, st, dt, n_steps)
+        )(p, w, st)
+        errs.append(l2_error(dm, np.asarray(fin.u), pw.u, n_steps * dt))
+    order = np.log2(errs[0] / errs[1])
+    assert order > min_order, (errs, order)
+
+
 def test_upwind_suppresses_point_source_precursors():
     """The measured central-flux pathology: a compact source radiates
     precursors faster than vp.  Upwind damps them: the wavefront at 5% peak
