@@ -111,8 +111,14 @@ def main():
     with timer.region("setup"):
         if args.mesh:
             from seigen_tpu.mesh.gmsh_io import read_msh
+            from seigen_tpu.mesh.recover import recover_structure
 
             topo = read_msh(args.mesh)
+            topo = recover_structure(topo)  # exact-or-nothing: lattice
+            # meshes in disguise re-enter the fast structured pipelines
+            if topo.structure is not None:
+                print(f"recovered structure: grid={topo.structure[0]} "
+                      f"m={topo.structure[1]}")
             dim = topo.dim
             extents = topo.extents
         else:

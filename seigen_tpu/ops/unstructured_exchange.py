@@ -142,39 +142,45 @@ def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
     ftp = nf * nfp
     fn = np.asarray(fnodes)
 
-    # distribute each consumer's node permutation to its producer face:
-    # producer face (e2, f2) emits node slot k holding its local face node
-    # k2[e, f, k] (consumer order)
-    k2_prod = np.tile(np.arange(nfp), (E, nf, 1))
-    e2f, f2f = pr.e2.reshape(-1), pr.f2.reshape(-1)
-    k2f = pr.k2.reshape(E * nf, nfp)
-    k2_prod[e2f, f2f] = k2f
-    nontrivial = bool((k2_prod != np.arange(nfp)).any())
-    # one-hot (nf, nfp_out, nfp_in, E) int8; exact in any float dtype
-    oh = None
-    if nontrivial:
-        oh_np = (k2_prod.transpose(1, 2, 0)[:, :, None, :]
-                 == np.arange(nfp)[None, None, :, None])
-        oh = jnp.asarray(oh_np.astype(np.int8))
+    # own-trace extraction as a one-hot MXU matmul (a static row GATHER
+    # measured 1.5 ms at E=83k; the (ftp, n_p) matmul is ~10x cheaper and
+    # exact at 'highest' precision since R is one-hot)
+    R = np.zeros((ftp, npp), dtype=np.float32)
+    R[np.arange(ftp), fn.reshape(-1)] = 1.0
+    Rj = jnp.asarray(R)
 
+    # combined (producer face, node permutation) selection per consumer
+    # face: group lanes by (f2, pi) — the orientation set is tiny, so the
+    # whole consumer-side reorder is a short where-chain over statically
+    # permuted views.  (The alternative producer-side one-hot einsum
+    # 'cfje,fkje->cfke' lowers to per-lane micro-matmuls: 5.4 ms at E=83k.)
+    gid, perms = orientation_groups(pr)
+    combo = pr.f2 * perms.shape[0] + gid  # (E, nf)
     take_e2 = jnp.asarray(pr.e2.T.copy(), jnp.int32)  # (nf, E)
-    f2_sel = jnp.asarray(pr.f2.T.copy(), jnp.int32)  # (nf, E)
+    combo_sel = jnp.asarray(combo.T.copy(), jnp.int32)  # (nf, E)
+    face_combos = [np.unique(combo[:, f]) for f in range(nf)]
 
     def exchange(f_lm: jax.Array) -> jax.Array:
         Fp = f_lm.reshape(C, npp, E_pad)[:, :, :E]
-        T = Fp[:, fn.reshape(-1), :].reshape(C, nf, nfp, E)
-        if oh is not None:
-            # producer-side pre-permutation into consumer node order
-            T = jnp.einsum("cfje,fkje->cfke", T, oh.astype(f_lm.dtype))
-        T = T.reshape(C * ftp, E)
+        T = jax.lax.dot_general(
+            Rj.astype(f_lm.dtype), Fp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (ftp, C, E)
+        T = T.transpose(1, 0, 2).reshape(C * ftp, E)
         face_blocks = []
         for f in range(nf):
             tmp = jnp.take(T, take_e2[f], axis=1)  # (C*ftp, E)
             t4 = tmp.reshape(C, nf, nfp, E)
-            acc = t4[:, 0]
-            for g in range(1, nf):
-                acc = jnp.where((f2_sel[f] == g)[None, None, :],
-                                t4[:, g], acc)
+            acc = None
+            for code in face_combos[f]:
+                g, p = divmod(int(code), perms.shape[0])
+                view = t4[:, g][:, perms[p], :]  # static row permutation
+                if acc is None:
+                    acc = view
+                else:
+                    acc = jnp.where((combo_sel[f] == code)[None, None, :],
+                                    view, acc)
             face_blocks.append(acc)  # (C, nfp, E)
         out = jnp.stack(face_blocks, axis=1).reshape(C, ftp, E)
         out = jnp.pad(out, ((0, 0), (0, ftpp - ftp), (0, E_pad - E)))

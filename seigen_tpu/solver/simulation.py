@@ -55,6 +55,10 @@ class ElasticSimulation:
         sources: list[PointSource] | None = None,
         receiver_points: np.ndarray | None = None,
     ):
+        if topology.structure is None and not topology.periodic:
+            from ..mesh.recover import recover_structure
+
+            topology = recover_structure(topology)
         self.config = config
         self.topology = topology
         self.material = material
