@@ -232,6 +232,71 @@ def _vel_kernel(dim, n_sig, npp, ftpp,
         out_ref[cout * npp : (cout + 1) * npp, :] = irho * (div + surf)
 
 
+def _vel_kernel_trac(dim, n_sig, npp, ftpp,
+                     sig_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, beta_ref,
+                     irho_ref, drr_ref, lift_ref, out_ref):
+    """Velocity kernel consuming PRE-CONTRACTED neighbour tractions.
+
+    tr_ref holds t_nbr = n_consumer . sigma_nbr directly (dim*ftpp rows
+    instead of n_sig*ftpp): the unstructured exchange contracts on the
+    producer side and sign-flips (consumer normal = -producer normal),
+    halving the sigma-exchange volume — same trick as the fused v2
+    pipeline (ops/fused_kernels.py item 1).
+    """
+    V = voigt_map(dim)
+    der = [[None] * n_sig for _ in range(dim)]
+    own = [None] * n_sig
+    for c in range(n_sig):
+        Xc = sig_ref[c * npp : (c + 1) * npp, :]
+        combo = _dot(drr_ref[:], Xc)
+        for r in range(dim):
+            der[r][c] = combo[r * npp : (r + 1) * npp, :]
+        own[c] = combo[dim * npp :, :]
+
+    irho = irho_ref[0:1, :]
+    for cout in range(dim):
+        div = None
+        for d in range(dim):
+            for r in range(dim):
+                g = ginv_ref[r * dim + d : r * dim + d + 1, :]
+                term = g * der[r][V[cout, d]]
+                div = term if div is None else div + term
+        t_own = None
+        for d in range(dim):
+            nd = nrm_ref[d * ftpp : (d + 1) * ftpp, :]
+            o = nd * own[V[cout, d]]
+            t_own = o if t_own is None else t_own + o
+        t_nbr = tr_ref[cout * ftpp : (cout + 1) * ftpp, :]
+        jump = 0.5 * t_nbr + beta_ref[:] * t_own
+        surf = _dot(lift_ref[:], jump * fsc_ref[:])
+        out_ref[cout * npp : (cout + 1) * npp, :] = irho * (div + surf)
+
+
+def vel_op_lm_trac(d: PallasOpData, sig_lm: jax.Array, tr_lm: jax.Array,
+                   block: int = DEFAULT_BLOCK,
+                   interpret: bool = False) -> jax.Array:
+    """vel_op_lm variant taking (dim*ftpp, E_pad) traction traces."""
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.beta, d.irho)]
+    E_pad = sig_lm.shape[1]
+    grid = (E_pad // block,)
+    kernel = functools.partial(_vel_kernel_trac, d.dim, d.n_sig, d.npp,
+                               d.ftpp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d.dim * d.npp, E_pad), sig_lm.dtype),
+        grid=grid,
+        in_specs=_lane_specs(
+            block,
+            [sig_lm.shape[0], tr_lm.shape[0]] + [g.shape[0] for g in geo],
+        )
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
+        out_specs=pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sig_lm, tr_lm, *geo, d.drr, d.lift)
+
+
 def _stress_kernel(dim, n_sig, npp, ftpp,
                    u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
                    lam_ref, mu_ref, drr_ref, lift_ref, out_ref):

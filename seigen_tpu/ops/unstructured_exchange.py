@@ -114,6 +114,39 @@ def orientation_groups(pr: FacePairing):
     return gid.reshape(E, nf), perms
 
 
+def _exchange_plan(pr: FacePairing):
+    """Static take/select plan shared by both exchange flavours."""
+    gid, perms = orientation_groups(pr)
+    combo = pr.f2 * perms.shape[0] + gid  # (E, nf)
+    return {
+        "take_e2": jnp.asarray(pr.e2.T.copy(), jnp.int32),  # (nf, E)
+        "combo_sel": jnp.asarray(combo.T.copy(), jnp.int32),
+        "face_combos": [np.unique(combo[:, f]) for f in range(pr.n_faces)],
+        "perms": perms,
+    }
+
+
+def _take_select(plan, T, C, nf, nfp, E):
+    """(C*ftp, E) producer panel -> (C, ftp, E) consumer traces."""
+    perms = plan["perms"]
+    face_blocks = []
+    for f in range(nf):
+        tmp = jnp.take(T, plan["take_e2"][f], axis=1)  # (C*ftp, E)
+        t4 = tmp.reshape(C, nf, nfp, E)
+        acc = None
+        for code in plan["face_combos"][f]:
+            g, p = divmod(int(code), perms.shape[0])
+            view = t4[:, g][:, perms[p], :]  # static row permutation
+            if acc is None:
+                acc = view
+            else:
+                acc = jnp.where(
+                    (plan["combo_sel"][f] == code)[None, None, :],
+                    view, acc)
+        face_blocks.append(acc)  # (C, nfp, E)
+    return jnp.stack(face_blocks, axis=1).reshape(C, nf * nfp, E)
+
+
 def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
                                   C: int, E: int, E_pad: int, fnodes):
     """(C*npp, E_pad) field -> (C*ftpp, E_pad) consumer traces.
@@ -154,11 +187,7 @@ def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
     # whole consumer-side reorder is a short where-chain over statically
     # permuted views.  (The alternative producer-side one-hot einsum
     # 'cfje,fkje->cfke' lowers to per-lane micro-matmuls: 5.4 ms at E=83k.)
-    gid, perms = orientation_groups(pr)
-    combo = pr.f2 * perms.shape[0] + gid  # (E, nf)
-    take_e2 = jnp.asarray(pr.e2.T.copy(), jnp.int32)  # (nf, E)
-    combo_sel = jnp.asarray(combo.T.copy(), jnp.int32)  # (nf, E)
-    face_combos = [np.unique(combo[:, f]) for f in range(nf)]
+    plan = _exchange_plan(pr)
 
     def exchange(f_lm: jax.Array) -> jax.Array:
         Fp = f_lm.reshape(C, npp, E_pad)[:, :, :E]
@@ -168,22 +197,63 @@ def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
             precision=jax.lax.Precision.HIGHEST,
         )  # (ftp, C, E)
         T = T.transpose(1, 0, 2).reshape(C * ftp, E)
-        face_blocks = []
-        for f in range(nf):
-            tmp = jnp.take(T, take_e2[f], axis=1)  # (C*ftp, E)
-            t4 = tmp.reshape(C, nf, nfp, E)
-            acc = None
-            for code in face_combos[f]:
-                g, p = divmod(int(code), perms.shape[0])
-                view = t4[:, g][:, perms[p], :]  # static row permutation
-                if acc is None:
-                    acc = view
-                else:
-                    acc = jnp.where((combo_sel[f] == code)[None, None, :],
-                                    view, acc)
-            face_blocks.append(acc)  # (C, nfp, E)
-        out = jnp.stack(face_blocks, axis=1).reshape(C, ftp, E)
+        out = _take_select(plan, T, C, nf, nfp, E)
         out = jnp.pad(out, ((0, 0), (0, ftpp - ftp), (0, E_pad - E)))
         return out.reshape(C * ftpp, E_pad)
+
+    return exchange
+
+
+def make_unstructured_traction_exchange(
+        pr: FacePairing, npp: int, ftpp: int, dim: int, n_sig: int,
+        E: int, E_pad: int, fnodes, nrm_lm: jax.Array, voigt: np.ndarray):
+    """(n_sig*npp, E_pad) sigma field -> (dim*ftpp, E_pad) NEIGHBOUR
+    TRACTIONS t_c = n_consumer . sigma_nbr in consumer order.
+
+    The contraction happens on the PRODUCER side with its own normals
+    (n_consumer = -n_producer on conforming faces, so interior lanes flip
+    sign; boundary self-pairs keep +).  This halves the sigma-exchange
+    panel from n_sig to dim rows per face node — the same traffic trick as
+    the fused v2 kernels — and pairs with
+    ops.pallas_kernels.vel_op_lm_trac.
+
+    ``nrm_lm``: (dim*ftpp, E{,_pad}) lane-major face-node-expanded normals
+    (PallasOpData.nrm, already element-permuted by the runner).
+    """
+    nf, nfp = pr.n_faces, pr.n_fp
+    ftp = nf * nfp
+    fn = np.asarray(fnodes)
+    R = np.zeros((ftp, npp), dtype=np.float32)
+    R[np.arange(ftp), fn.reshape(-1)] = 1.0
+    Rj = jnp.asarray(R)
+    plan = _exchange_plan(pr)
+
+    # per consumer (face, lane) sign: -1 interior (normal flip), +1 self
+    boundary = (pr.e2 == np.arange(E)[:, None]) & (
+        pr.f2 == np.arange(nf)[None, :])  # (E, nf)
+    sign = np.where(boundary, 1.0, -1.0).astype(np.float32)  # (E, nf)
+    sign_rows = jnp.asarray(np.repeat(sign.T, nfp, axis=0))  # (ftp, E)
+
+    def exchange(sig_lm: jax.Array) -> jax.Array:
+        Fp = sig_lm.reshape(n_sig, npp, E_pad)[:, :, :E]
+        T6 = jax.lax.dot_general(
+            Rj.astype(sig_lm.dtype), Fp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (ftp, n_sig, E)
+        # producer-normal contraction -> (dim, ftp, E) tractions
+        trac = []
+        for c in range(dim):
+            acc = None
+            for d in range(dim):
+                nd = nrm_lm[d * ftpp : d * ftpp + ftp, :E]
+                term = nd * T6[:, voigt[c, d], :]
+                acc = term if acc is None else acc + term
+            trac.append(acc)
+        T = jnp.stack(trac, axis=0).reshape(dim * ftp, E)
+        out = _take_select(plan, T, dim, nf, nfp, E)
+        out = out * sign_rows[None]
+        out = jnp.pad(out, ((0, 0), (0, ftpp - ftp), (0, E_pad - E)))
+        return out.reshape(dim * ftpp, E_pad)
 
     return exchange

@@ -15,10 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.elastic import ElasticParams
+from ..ops.elastic import ElasticParams, voigt_map
+from ..ops.pallas_kernels import vel_op_lm_trac
 from ..ops.unstructured_exchange import (
     derive_face_pairing,
     make_unstructured_exchange_lm,
+    make_unstructured_traction_exchange,
     permute_pairing,
 )
 from .lane_major import LaneMajorRunner
@@ -54,6 +56,15 @@ class UnstructuredLaneRunner(LaneMajorRunner):
         pr = derive_face_pairing(np.asarray(p.nbr), p.n_p, p.fnodes)
         pr = permute_pairing(pr, self._old_of_new, self._new_of_old)
         self.pairing = pr
-        mk = lambda C: make_unstructured_exchange_lm(  # noqa: E731
-            pr, d.npp, d.ftpp, C, E, E_pad, p.fnodes)
-        return mk(d.dim), mk(d.n_sig)
+        ex_u = make_unstructured_exchange_lm(
+            pr, d.npp, d.ftpp, d.dim, E, E_pad, p.fnodes)
+        # sigma traces ride as pre-contracted tractions (dim rows instead
+        # of n_sig): consumed by vel_op_lm_trac via the _vel override
+        ex_t = make_unstructured_traction_exchange(
+            pr, d.npp, d.ftpp, d.dim, d.n_sig, E, E_pad, p.fnodes,
+            d.nrm, voigt_map(d.dim))
+        return ex_u, ex_t
+
+    def _vel(self, d, s_lm):
+        return vel_op_lm_trac(d, s_lm, self.ex_s(s_lm), self.block,
+                              self.interpret)
