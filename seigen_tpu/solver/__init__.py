@@ -2,7 +2,8 @@ from .analytic import PlaneWave
 from .damping import absorbing_bc_fn, sponge_mask
 from .errors import convergence_order, interpolate, l2_error, l2_norm
 from .receivers import ReceiverData, build_receivers, line, sample
-from .source import PointSource, SourceData, build_sources, ricker
+from .source import (PointSource, SourceData, build_sources,
+                     kinematic_rupture, ricker)
 from .rk4 import make_rk4_step, run_rk4
 from .timestep import State, cfl_dt, make_step, run, run_jit, staggered_init
 
@@ -21,6 +22,7 @@ __all__ = [
     "PointSource",
     "SourceData",
     "build_sources",
+    "kinematic_rupture",
     "ricker",
     "State",
     "cfl_dt",

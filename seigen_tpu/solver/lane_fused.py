@@ -187,9 +187,13 @@ def _exchange_block_size(ex: StructuredExchange) -> int | None:
     # s reads blocks (j + s//bx, j + s//bx + 1); blocks clipped out of
     # [0, NB) are only read by lanes whose element+shift leaves [0, NC),
     # and on a bounded mesh those faces are boundary faces, replaced by own
-    # traces via the mask (see make_pallas_exchange docstring).  Prefer
-    # small blocks (less VMEM, finer pipeline); need bx | NC and 128 | bx.
-    for bx in (256, 384, 512, 768, 1024, 1536, 2048, 2304, 3072, 4096):
+    # traces via the mask (see make_pallas_exchange docstring).  Measured
+    # preference (BENCH_NOTES round 2): larger blocks amortize the per-face
+    # window bookkeeping — n=24: bx 768 = 2.43 G vs 256 = 2.23 G; n=40:
+    # 512 = 1.87 G vs 256 = 1.73 G.  Order: best-measured first, need
+    # bx | NC and 128 | bx.
+    for bx in (768, 1024, 512, 1536, 384, 256, 2048, 2304, 3072, 4096,
+               128):
         if NC % bx == 0:
             return bx
     return None
@@ -202,6 +206,42 @@ def _flat_strides(grid):
         strides.append(s)
         s *= g
     return tuple(reversed(strides))
+
+
+def _canonical_shift(ex: StructuredExchange, t: int, f: int):
+    """True (unwrapped) per-axis neighbour offset for face (t, f), or None.
+
+    ``ex.shift`` is only defined MODULO the grid — the loop exchange rolls
+    per axis, so -1 and +1 coincide on a period-2 axis and either
+    representative works there.  The windowed Pallas kernel reads flat
+    windows WITHOUT the per-axis mod, so it needs the true offset: the one
+    whose out-of-range consumer set exactly equals the boundary mask
+    (self_mask).  Returns the offset tuple, or None when no unique
+    candidate matches (caller falls back to the loop exchange).
+    """
+    import itertools
+
+    grid = ex.grid
+    dim = len(grid)
+    base = [int(ex.shift[t, f, a]) for a in range(dim)]
+    mask = np.asarray(ex.self_mask[t, f]).reshape(grid)
+    options = []
+    for s, g in zip(base, grid):
+        if s == 0:
+            options.append([0])
+        else:
+            alt = s - g * (1 if s > 0 else -1)
+            options.append(sorted({s, alt}, key=abs))
+    idx = np.indices(grid)
+    matches = []
+    for choice in itertools.product(*options):
+        out = np.zeros(grid, dtype=bool)
+        for a in range(dim):
+            c = idx[a] + choice[a]
+            out |= (c < 0) | (c >= grid[a])
+        if np.array_equal(out, mask):
+            matches.append(choice)
+    return matches[0] if len(matches) == 1 else None
 
 
 def make_pallas_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
@@ -249,7 +289,12 @@ def make_pallas_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
         P_t = np.zeros((nf, nsel, rows_tr), dtype=np.float32)
         for f in range(nf):
             t2 = int(ex.nbr_class[t, f])
-            s = int(np.dot(ex.shift[t, f], strides))
+            off = _canonical_shift(ex, t, f)
+            if off is None:
+                # ambiguous wrap representative (e.g. several period-2
+                # axes): the flat-window read cannot be proven safe
+                return None
+            s = int(np.dot(off, strides))
             g = int(f2[t, f])
             for c in range(C):
                 P_t[f, c * nfp + np.arange(nfp),

@@ -85,6 +85,20 @@ def test_explosive_source_cli_gmsh_mesh(tmp_path):
     assert np.all(np.isfinite(z["seismograms"]))
 
 
+def test_fwi_cli(tmp_path):
+    """FWI demo end-to-end: misfit decreases, model artifact written."""
+    out = str(tmp_path / "fwi.npz")
+    r = run_cli(["scripts/fwi.py", "--n", "8", "--degree", "1",
+                 "--iters", "6", "--shots", "2", "--T", "1.0", "--cpu",
+                 "--out", out], timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["misfit_reduction"] < 1.0
+    z = np.load(out)
+    assert np.all(np.isfinite(z["vp_final"]))
+
+
 def test_explosive_source_cli_resume(tmp_path):
     ck = str(tmp_path / "ck.npz")
     r1 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",

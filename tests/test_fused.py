@@ -127,18 +127,30 @@ def test_fused_eigenmode_accuracy():
     assert err < err_ref * 1.05 + 1e-7, (err, err_ref)
 
 
-@pytest.mark.parametrize("dims", [(8, 8, 8), (2, 16, 16)])
-def test_pallas_exchange_matches_loop(dims):
+@pytest.mark.parametrize("dims,force_bx",
+                         [((8, 8, 8), None), ((2, 16, 16), None),
+                          ((2, 16, 16), 256), ((8, 8, 8), 128)])
+def test_pallas_exchange_matches_loop(dims, force_bx):
     """Pallas exchange kernel vs XLA loop exchange, bounded 3D mesh sized
     to satisfy the class-block constraints (NC divisible by the lane
-    block).  dims (2, 16, 16) makes the flat shift magnitude (~G1*G2)
-    EXCEED the lane block, covering the multi-block window offsets that
-    production sizes hit (e.g. n=40, where bx < smax)."""
+    block).
+
+    dims (2, 16, 16) has period-2 supercell axes where ex.shift's mod-grid
+    representative can point the WRONG way (the loop path rolls per axis so
+    either representative works; the flat-window kernel must canonicalize
+    against the boundary mask — regression for the _canonical_shift fix).
+    force_bx < the flat shift magnitude covers multi-block window offsets
+    (production n=40 hits bx < smax)."""
+    import seigen_tpu.solver.lane_fused as lf
     from seigen_tpu.ops.fused_kernels import build_fused_data
     from seigen_tpu.solver.lane_fused import (
         make_pallas_exchange,
         make_trace_exchange,
     )
+
+    if force_bx is not None:
+        orig = lf._exchange_block_size
+        lf._exchange_block_size = lambda ex: force_bx
 
     extents = ((0.0, 1.0),) * 3
     dm = build_discrete(
@@ -149,15 +161,19 @@ def test_pallas_exchange_matches_loop(dims):
     d = build_fused_data(p)
     E = dm.num_elements
     rng = np.random.default_rng(3)
-    for negate in (True, False):
-        xp = make_pallas_exchange(ex, d, d.dim, E, E, negate=negate,
-                                  interpret=True)
-        assert xp is not None, "mesh should satisfy pallas-X constraints"
-        xl = make_trace_exchange(ex, d, d.dim, E, E, negate=negate)
-        tr = jnp.asarray(
-            rng.standard_normal((d.dim * d.ftpp, E)), jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(xp(tr)), np.asarray(xl(tr)), rtol=2e-4, atol=2e-5)
+    try:
+        for negate in (True, False):
+            xp = make_pallas_exchange(ex, d, d.dim, E, E, negate=negate,
+                                      interpret=True)
+            assert xp is not None, "mesh should satisfy pallas-X constraints"
+            xl = make_trace_exchange(ex, d, d.dim, E, E, negate=negate)
+            tr = jnp.asarray(
+                rng.standard_normal((d.dim * d.ftpp, E)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(xp(tr)), np.asarray(xl(tr)), rtol=2e-4, atol=2e-5)
+    finally:
+        if force_bx is not None:
+            lf._exchange_block_size = orig
 
 
 def test_pallas_exchange_full_run():

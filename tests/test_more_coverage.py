@@ -233,6 +233,56 @@ def test_many_simultaneous_sources():
     np.testing.assert_allclose(u_all, u_sum, rtol=1e-10, atol=1e-12)
 
 
+def test_kinematic_rupture_directivity():
+    """A unilateral finite-fault rupture (kinematic_rupture) shows forward
+    directivity: stations ahead of rupture propagation see larger peak
+    amplitudes (Doppler pulse compression) than stations behind."""
+    from seigen_tpu.solver import kinematic_rupture
+
+    from seigen_tpu.solver import absorbing_bc_fn, build_receivers, sponge_mask
+    from seigen_tpu.solver.timestep import run as run_ts
+
+    extents = ((0.0, 2.0), (0.0, 1.0))
+    dm = build_discrete(
+        rect_mesh(40, 20, lx=2.0), 1,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[]))
+    damp = jnp.asarray(sponge_mask(
+        dm, [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi")], width=0.15),
+        jnp.float64)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+    srcs = kinematic_rupture(
+        a=(0.7, 0.5), b=(1.3, 0.5), n_sub=13,
+        moment=(1.0, 1.0, 0.0), f0=8.0,
+        rupture_velocity=0.8, radius=0.05)
+    assert len(srcs) == 13
+    t0s = np.array([s.t0 for s in srcs])
+    assert np.all(np.diff(t0s) > 0)  # unilateral: delays grow along strike
+    s = build_sources(dm, srcs, dtype=jnp.float64)
+    rcv = build_receivers(dm, np.array([[1.7, 0.5], [0.3, 0.5]]),
+                          dtype=jnp.float64)
+    T = float(t0s[-1]) + 0.5 / 2.0 + 0.3  # last onset + travel + tail
+    n_steps = int(np.ceil(T / dt))
+    _, seis = jax.jit(
+        lambda p, st: run_ts(p, st, dt, n_steps, order=4, src=s,
+                             damp=damp, receivers=rcv))(p, st)
+    seis = np.asarray(seis)  # (n, 2, dim)
+
+    # forward directivity = apparent source-time compression: the signal
+    # DURATION ahead of rupture propagation is shorter than behind
+    # (arrival spacing dx(1/v_r -+ 1/vp)); peak amplitude of superposed
+    # zero-mean wavelets is not a monotone observable, duration is.
+    def duration(tr):
+        a = np.abs(tr).max(axis=1)
+        on = np.where(a > 0.15 * a.max())[0]
+        return (on[-1] - on[0]) * dt
+
+    d_fwd, d_bwd = duration(seis[:, 0]), duration(seis[:, 1])
+    assert d_fwd < 0.75 * d_bwd, (d_fwd, d_bwd)
+
+
 def test_acoustic_medium_mu_zero():
     """Acoustic limit (vs=0, marine case): P eigenmode propagates correctly
     through both the central/leapfrog and upwind/RK4 paths."""
