@@ -66,6 +66,84 @@ def make_rk4_step(
     return step
 
 
+def make_rk4_step_visco(
+    p: ElasticParams,
+    w: UpwindData,
+    v,
+    dt: float,
+    src: SourceData | None = None,
+    damp: jax.Array | None = None,
+):
+    """Viscoelastic RK4 step: carry is (State, xi) with memory variables
+    xi (E, n_p, n_sig, L) (ops/viscoelastic.py).  Point sources inject
+    into the momentum/stress balance (not the constitutive strain rate),
+    so they bypass the anelastic target."""
+    from ..ops.viscoelastic import anelastic_rates
+
+    dt_ = jnp.asarray(dt, dtype=p.Ginv.dtype)
+
+    def rhs(u, s, xi, t):
+        du, ds_el = apply_coupled_upwind(
+            p, w, u, s, _gather(p, u), _gather(p, s))
+        dxi, xi_sum = anelastic_rates(v, ds_el, xi, p.dim)
+        ds = ds_el - xi_sum
+        if src is not None:
+            r = src.amp * ricker(t, src.f0, src.t0)
+            du = du.at[src.elems].add(src.vec_u * r[:, None, None])
+            ds = ds.at[src.elems].add(src.vec_s * r[:, None, None])
+        return du, ds, dxi
+
+    def step(state: State, xi, t):
+        u, s = state.u, state.s
+        k1 = rhs(u, s, xi, t)
+        k2 = rhs(u + 0.5 * dt_ * k1[0], s + 0.5 * dt_ * k1[1],
+                 xi + 0.5 * dt_ * k1[2], t + 0.5 * dt_)
+        k3 = rhs(u + 0.5 * dt_ * k2[0], s + 0.5 * dt_ * k2[1],
+                 xi + 0.5 * dt_ * k2[2], t + 0.5 * dt_)
+        k4 = rhs(u + dt_ * k3[0], s + dt_ * k3[1], xi + dt_ * k3[2],
+                 t + dt_)
+        u = u + (dt_ / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        s = s + (dt_ / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        xi = xi + (dt_ / 6.0) * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        if damp is not None:
+            u = u * damp[:, :, None]
+            s = s * damp[:, :, None]
+            xi = xi * damp[:, :, None, None]
+        return State(u=u, s=s), xi
+
+    return step
+
+
+def run_rk4_visco(
+    p: ElasticParams,
+    w: UpwindData,
+    v,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    xi0: jax.Array | None = None,
+    src: SourceData | None = None,
+    damp: jax.Array | None = None,
+    receivers: ReceiverData | None = None,
+):
+    """Viscoelastic run; returns (final State, final xi, seismograms)."""
+    step = make_rk4_step_visco(p, w, v, dt, src=src, damp=damp)
+    dt_ = jnp.asarray(dt, dtype=p.Ginv.dtype)
+    if xi0 is None:
+        E, n_p, n_sig = state0.s.shape
+        xi0 = jnp.zeros((E, n_p, n_sig, v.L), dtype=state0.s.dtype)
+
+    def body(carry, n):
+        state, xi = carry
+        t = n.astype(p.Ginv.dtype) * dt_
+        state, xi = step(state, xi, t)
+        ys = sample(receivers, state.u) if receivers is not None else None
+        return (state, xi), ys
+
+    (fin, xi), ys = jax.lax.scan(body, (state0, xi0), jnp.arange(n_steps))
+    return fin, xi, ys
+
+
 def run_rk4(
     p: ElasticParams,
     w: UpwindData,
