@@ -68,10 +68,16 @@ def main():
                     help="'lf': staggered leapfrog + central flux (reference "
                          "parity); 'upwind-rk4': Godunov flux + RK4 "
                          "(dissipative, optimal odd-degree orders)")
-    ap.add_argument("--impl", choices=["einsum", "pallas"], default="einsum",
-                    help="operator backend; 'pallas' = fused TPU kernels "
-                         "(the rebuild's analog of the reference's tiling "
-                         "variant, tests/tiling)")
+    ap.add_argument("--impl",
+                    choices=["auto", "einsum", "pallas", "lane", "fused",
+                             "lane_u"],
+                    default="auto",
+                    help="operator backend: 'auto' = lane-major TPU "
+                         "pipelines on TPU (fused/lane for structured, "
+                         "lane_u for unstructured meshes), einsum "
+                         "elsewhere; 'pallas' = fused kernels with the "
+                         "general gather (the reference's tiling-variant "
+                         "analog)")
     args = ap.parse_args()
 
     if args.shards and args.cpu:
@@ -253,13 +259,59 @@ def main():
         from seigen_tpu.solver.timestep import make_step
         from seigen_tpu.solver.receivers import sample
 
+        # fast lane-major runners (TPU production path); 'auto' picks them
+        # on TPU backends, the einsum/XLA paths elsewhere
+        runner = None
+        impl = args.impl
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        if impl == "auto" and args.scheme == "lf" and on_tpu:
+            from seigen_tpu.ops.structured_exchange import detect_structured
+
+            exch = detect_structured(dm)
+            if exch is None:
+                impl = "lane_u"
+            else:
+                impl = "fused" if args.order == 4 else "lane"
+        if impl in ("lane", "fused", "lane_u") and args.scheme == "lf":
+            from seigen_tpu.ops.structured_exchange import detect_structured
+
+            interp = not on_tpu
+            if impl == "lane_u":
+                from seigen_tpu.solver.lane_unstructured import (
+                    UnstructuredLaneRunner)
+
+                runner = UnstructuredLaneRunner(
+                    p, dt, order=args.order, src=src, damp=damp,
+                    receivers=rcv, interpret=interp,
+                    centroids=np.asarray(dm.coords.mean(axis=1)))
+            else:
+                exch = detect_structured(dm)
+                if exch is None:
+                    raise SystemExit(f"--impl {impl} needs a structured "
+                                     "mesh (use lane_u)")
+                if impl == "fused":
+                    from seigen_tpu.solver.lane_fused import FusedLaneRunner
+
+                    runner = FusedLaneRunner(
+                        p, exch, dt, order=args.order, src=src, damp=damp,
+                        receivers=rcv, interpret=interp)
+                else:
+                    from seigen_tpu.solver.lane_major import LaneMajorRunner
+
+                    runner = LaneMajorRunner(
+                        p, exch, dt, order=args.order, src=src, damp=damp,
+                        receivers=rcv, interpret=interp)
+            print(f"impl: {impl}")
+
         if args.scheme == "upwind-rk4":
             from seigen_tpu.ops.upwind import build_upwind_data
             from seigen_tpu.solver.rk4 import make_rk4_step
 
             wdata = build_upwind_data(dm, mat, dtype=dtype)
             step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
-        elif args.impl == "pallas":
+        elif runner is not None:
+            step_fn = None
+        elif impl == "pallas":
             from seigen_tpu.ops.pallas_kernels import make_pallas_ops
 
             v_op, s_op = make_pallas_ops(p)
@@ -270,12 +322,16 @@ def main():
 
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def advance(st, n0, k):
-            def body(s, i):
-                s2 = step_fn(s, (n0 + i).astype(dtype) * dt)
-                return s2, sample(rcv, s2.u)
-            return jax.lax.scan(body, st, jnp.arange(k))
+        if runner is not None:
+            def advance(st, n0, k):
+                return runner.run(st, k, step0=int(n0))
+        else:
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def advance(st, n0, k):
+                def body(s, i):
+                    s2 = step_fn(s, (n0 + i).astype(dtype) * dt)
+                    return s2, sample(rcv, s2.u)
+                return jax.lax.scan(body, st, jnp.arange(k))
 
         with timer.region("run"):
             n = step0
