@@ -64,6 +64,12 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--qp", type=float, default=None,
+                    help="P/bulk quality factor Q_kappa (viscoelastic "
+                         "attenuation; requires --scheme upwind-rk4)")
+    ap.add_argument("--qs", type=float, default=None,
+                    help="S/shear quality factor Q_mu (viscoelastic "
+                         "attenuation; requires --scheme upwind-rk4)")
     ap.add_argument("--scheme", choices=["lf", "upwind-rk4"], default="lf",
                     help="'lf': staggered leapfrog + central flux (reference "
                          "parity); 'upwind-rk4': Godunov flux + RK4 "
@@ -303,12 +309,27 @@ def main():
                         receivers=rcv, interpret=interp)
             print(f"impl: {impl}")
 
+        visco = None
         if args.scheme == "upwind-rk4":
             from seigen_tpu.ops.upwind import build_upwind_data
             from seigen_tpu.solver.rk4 import make_rk4_step
 
             wdata = build_upwind_data(dm, mat, dtype=dtype)
-            step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
+            if args.qp is not None or args.qs is not None:
+                from seigen_tpu.ops.viscoelastic import build_visco
+                from seigen_tpu.solver.rk4 import make_rk4_step_visco
+
+                visco = build_visco(
+                    p, args.qp or np.inf, args.qs or np.inf,
+                    0.25 * f0, 2.5 * f0)
+                step_fn = make_rk4_step_visco(p, wdata, visco, dt,
+                                              src=src, damp=damp)
+                print(f"viscoelastic: Qp={args.qp} Qs={args.qs} "
+                      f"band=[{0.25*f0:.2f},{2.5*f0:.2f}] Hz")
+            else:
+                step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
+        elif args.qp is not None or args.qs is not None:
+            raise SystemExit("--qp/--qs need --scheme upwind-rk4")
         elif runner is not None:
             step_fn = None
         elif impl == "pallas":
@@ -323,21 +344,37 @@ def main():
         import functools
 
         if runner is not None:
-            def advance(st, n0, k):
-                return runner.run(st, k, step0=int(n0))
+            def advance(st, xi, n0, k):
+                fin, ys = runner.run(st, k, step0=int(n0))
+                return fin, None, ys
+        elif visco is not None:
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def advance(st, xi, n0, k):
+                def body(c, i):
+                    s2, x2 = step_fn(c[0], c[1],
+                                     (n0 + i).astype(dtype) * dt)
+                    return (s2, x2), sample(rcv, s2.u)
+                (s2, x2), ys = jax.lax.scan(body, (st, xi), jnp.arange(k))
+                return s2, x2, ys
         else:
             @functools.partial(jax.jit, static_argnames=("k",))
-            def advance(st, n0, k):
+            def advance(st, xi, n0, k):
                 def body(s, i):
                     s2 = step_fn(s, (n0 + i).astype(dtype) * dt)
                     return s2, sample(rcv, s2.u)
-                return jax.lax.scan(body, st, jnp.arange(k))
+                fin, ys = jax.lax.scan(body, st, jnp.arange(k))
+                return fin, None, ys
 
+        xi = (
+            jnp.zeros((E, n_p, n_sig_for(dim), visco.L), dtype)
+            if visco is not None else None
+        )
         with timer.region("run"):
             n = step0
             while n < n_steps:
                 k = min(chunk, n_steps - n)
-                st, ys = advance(st, jnp.asarray(n, dtype=jnp.int32), k)
+                st, xi, ys = advance(st, xi, jnp.asarray(n, dtype=jnp.int32),
+                                     k)
                 seis_chunks.append(np.asarray(ys))
                 n += k
                 if pvd and (n % args.vtk_every == 0 or n == n_steps):

@@ -85,6 +85,27 @@ def test_explosive_source_cli_gmsh_mesh(tmp_path):
     assert np.all(np.isfinite(z["seismograms"]))
 
 
+def test_explosive_source_cli_viscoelastic(tmp_path):
+    """--qp/--qs viscoelastic attenuation through the CLI: runs, finite,
+    and decays faster than the elastic run."""
+    out_v = str(tmp_path / "v.npz")
+    out_e = str(tmp_path / "e.npz")
+    common = ["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+              "--degree", "1", "--T", "0.6", "--cpu",
+              "--scheme", "upwind-rk4"]
+    rv = run_cli(common + ["--qs", "15", "--qp", "15", "--out", out_v])
+    assert rv.returncode == 0, rv.stdout + rv.stderr
+    assert "viscoelastic" in rv.stdout
+    re_ = run_cli(common + ["--out", out_e])
+    assert re_.returncode == 0, re_.stdout + re_.stderr
+    sv = np.load(out_v)["seismograms"]
+    se = np.load(out_e)["seismograms"]
+    assert np.all(np.isfinite(sv))
+    # attenuated late-time coda is weaker than elastic
+    n = len(sv) // 2
+    assert np.abs(sv[n:]).max() < np.abs(se[n:]).max()
+
+
 def test_fwi_cli(tmp_path):
     """FWI demo end-to-end: misfit decreases, model artifact written."""
     out = str(tmp_path / "fwi.npz")
