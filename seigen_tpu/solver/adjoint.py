@@ -62,7 +62,7 @@ def run_segmented(
         ys = sample(receivers, state.u) if receivers is not None else None
         return state, ys
 
-    if segment is None or segment >= n_steps:
+    if not segment or segment >= n_steps:
         return jax.lax.scan(body, state0,
                             jnp.arange(step0, step0 + n_steps))
     if n_steps % segment:

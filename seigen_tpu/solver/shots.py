@@ -1,0 +1,81 @@
+"""Ensemble-of-shots batching: vmap the forward solve over sources.
+
+The reference has no data-parallel axis (SURVEY.md §3.2: DP listed as a
+"possible extension"); on TPU the natural one is batching independent
+SHOTS (seismic experiments sharing mesh/material) with ``jax.vmap`` — one
+compiled program, the shot axis rides the hardware like a batch dimension,
+and multi-shot FWI misfits become a single vmapped reduction.  Memory
+scales linearly with shots (fields are (S, E, n_p, C)); combine with
+``run_segmented``'s checkpointing for gradient runs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.elastic import ElasticParams
+from .adjoint import run_segmented
+from .receivers import ReceiverData
+from .source import SourceData
+from .timestep import State
+
+
+def stack_shots(shots: list[SourceData]) -> SourceData:
+    """Stack equal-size per-shot SourceData into one with a leading shot
+    axis (pad shots to the same K with zero-amplitude entries upstream if
+    needed)."""
+    ks = {s.elems.shape[0] for s in shots}
+    if len(ks) != 1:
+        raise ValueError(f"shots must have equal source-entry counts, got "
+                         f"{sorted(ks)}")
+    stack = lambda f: jnp.stack([getattr(s, f) for s in shots])  # noqa:E731
+    return SourceData(
+        elems=stack("elems"), vec_u=stack("vec_u"), vec_s=stack("vec_s"),
+        f0=stack("f0"), t0=stack("t0"), amp=stack("amp"),
+    )
+
+
+def run_shots(
+    p: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    shots: SourceData,
+    receivers: ReceiverData | None = None,
+    order: int = 4,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+):
+    """vmapped forward solve over the leading shot axis of ``shots``.
+
+    Returns (final States (S, ...), seismograms (S, n_steps, R, dim)).
+    ``state0`` is shared (unbatched) across shots.
+    """
+
+    def one(shot_src):
+        return run_segmented(
+            p, state0, dt, n_steps, segment=segment, order=order,
+            src=shot_src, damp=damp, receivers=receivers)
+
+    return jax.vmap(one)(shots)
+
+
+def shots_misfit(
+    p: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    shots: SourceData,
+    receivers: ReceiverData,
+    observed: jax.Array,
+    order: int = 4,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+) -> jax.Array:
+    """0.5 * sum over shots of ||seis_s - observed_s||^2 (vmapped)."""
+    _, seis = run_shots(
+        p, state0, dt, n_steps, shots, receivers=receivers, order=order,
+        damp=damp, segment=segment)
+    r = seis - observed
+    return 0.5 * jnp.sum(r * r)

@@ -1,0 +1,90 @@
+"""Ensemble-of-shots vmap batching (SURVEY §3.2 DP extension)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seigen_tpu.mesh import build_discrete, rect_mesh
+from seigen_tpu.ops import Material, build_params
+from seigen_tpu.solver import (
+    PointSource,
+    State,
+    build_receivers,
+    build_sources,
+    cfl_dt,
+    line,
+    run,
+)
+from seigen_tpu.solver.adjoint import with_material
+from seigen_tpu.solver.shots import run_shots, shots_misfit, stack_shots
+
+MAT = Material(rho=1.0, vp=2.0, vs=1.0)
+
+
+def _setup():
+    dm = build_discrete(rect_mesh(8, 8), 1)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+    rcv = build_receivers(dm, line((0.2, 0.9), (0.8, 0.9), 3),
+                          dtype=jnp.float64)
+    shot_list = [
+        build_sources(dm, [PointSource(position=(x, 0.6), f0=3.0)],
+                      dtype=jnp.float64)
+        for x in (0.3, 0.5, 0.7)
+    ]
+    return dm, p, dt, st, rcv, shot_list
+
+
+def test_vmapped_shots_match_loop():
+    dm, p, dt, st, rcv, shot_list = _setup()
+    shots = stack_shots(shot_list)
+    n = 15
+    fins, seis = jax.jit(
+        lambda p, st: run_shots(p, st, dt, n, shots, receivers=rcv)
+    )(p, st)
+    assert seis.shape[0] == 3
+    for i, s in enumerate(shot_list):
+        ref, ref_seis = jax.jit(
+            lambda p, st, s=s: run(p, st, dt, n, order=4, src=s,
+                                   receivers=rcv))(p, st)
+        np.testing.assert_allclose(np.asarray(fins.u[i]),
+                                   np.asarray(ref.u), rtol=1e-12,
+                                   atol=1e-15)
+        np.testing.assert_allclose(np.asarray(seis[i]),
+                                   np.asarray(ref_seis), rtol=1e-12,
+                                   atol=1e-15)
+
+
+def test_shots_misfit_differentiable():
+    dm, p, dt, st, rcv, shot_list = _setup()
+    shots = stack_shots(shot_list)
+    n = 12
+    E = dm.num_elements
+    vp_true = jnp.full((E,), 2.05, jnp.float64)
+    _, observed = jax.jit(
+        lambda p, st: run_shots(p, st, dt, n, shots, receivers=rcv)
+    )(with_material(p, vp=vp_true), st)
+
+    def loss(vp):
+        return shots_misfit(with_material(p, vp=vp), st, dt, n, shots,
+                            rcv, observed, segment=4)
+
+    val, g = jax.jit(jax.value_and_grad(loss))(jnp.full((E,), 2.0,
+                                                        jnp.float64))
+    assert float(val) > 0
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+
+
+def test_stack_shots_rejects_mismatched():
+    dm, p, dt, st, rcv, shot_list = _setup()
+    bad = build_sources(
+        dm, [PointSource(position=(0.5, 0.6), f0=3.0),
+             PointSource(position=(0.4, 0.5), f0=3.0)],
+        dtype=jnp.float64)
+    import pytest
+
+    with pytest.raises(ValueError):
+        stack_shots([shot_list[0], bad])
