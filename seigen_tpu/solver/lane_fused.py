@@ -345,7 +345,7 @@ def make_pallas_exchange(ex: StructuredExchange, d: FusedOpData, C: int,
     def class_call(buf, tr, t, alias):
         faces, P_t, mask_t = plans[t]
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased buffer
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased buffer
             pl.BlockSpec((rows_tr, bx), lambda j, t=t: (0, t * NB + j),
                          memory_space=pltpu.VMEM),  # own
             pl.BlockSpec((8, bx), lambda j: (0, j),
