@@ -9,17 +9,24 @@ observations:
 1. **Conforming DG face pairing is a bijection on faces.**  Every interior
    face (e, f) has exactly one partner (e2, f2) plus a node permutation
    k2 in a SMALL orientation set (<= 2 in 2D, <= 6 in 3D: the symmetries of
-   the facet simplex); boundary faces self-pair with the identity.  So the
-   exchange is: one row-take at FACE granularity (E*nf rows, nfp x fewer
-   than node granularity) + a handful of static node-permutation matmuls
-   applied to contiguous row groups (consumers pre-sorted by orientation,
-   folded into the take's row order).
+   the facet simplex); boundary faces self-pair with the identity.
 
-2. **Compact payloads.**  The take moves (nfp*C)-wide face rows of the
-   extracted trace array, not field rows.
+2. **Lane takes are the fast gather on TPU** (measured cost model,
+   bench/gather_probe.py + BENCH_NOTES): row-granularity takes are
+   ROW-COUNT-bound (~4.9 ms for E*nf rows at any width), while lane-axis
+   takes are INDEX-bound (~1.1 ms per E indices, FLAT in row count).  So
+   the exchange moves whole trace-row panels with ONE lane take per
+   consumer face, then resolves (f2, k2) with a short where-chain over
+   statically permuted views (the orientation set is tiny), and extracts
+   own traces with a one-hot MXU matmul.
 
-3. **Locality ordering.**  Elements are pre-permuted along a Morton curve
-   (parallel/partition.py) so neighbour rows are mostly nearby — gather
+3. **Compact payloads.**  Panels hold extracted traces, not fields; for
+   the sigma exchange, producer-side traction contraction shrinks the
+   panel from n_sig to dim rows per face node
+   (make_unstructured_traction_exchange + pallas vel_op_lm_trac).
+
+4. **Locality ordering.**  Elements are pre-permuted along a Morton curve
+   (parallel/partition.py) so neighbour lanes are mostly nearby — gather
    locality and future slab-sharding both benefit.
 
 The consumer-side API matches solver/lane_major.make_exchange_lm:
