@@ -36,6 +36,23 @@ def stack_shots(shots: list[SourceData]) -> SourceData:
     )
 
 
+def shard_shots(shots: SourceData, mesh) -> SourceData:
+    """Lay the stacked shot axis out over a device mesh axis ("shot").
+
+    Data parallelism for ensemble/FWI workloads: each chip owns S/P whole
+    shots (mesh/material replicated), so the vmapped solve in ``run_shots``
+    runs embarrassingly parallel with zero per-step communication — the
+    TPU answer to "run the survey's shots at once" (SURVEY §3.2 DP row).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = P("shot", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, shots)
+
+
 def run_shots(
     p: ElasticParams,
     state0: State,
@@ -50,7 +67,10 @@ def run_shots(
     """vmapped forward solve over the leading shot axis of ``shots``.
 
     Returns (final States (S, ...), seismograms (S, n_steps, R, dim)).
-    ``state0`` is shared (unbatched) across shots.
+    ``state0`` is shared (unbatched) across shots.  If ``shots`` was laid
+    out with ``shard_shots``, XLA partitions the whole solve over the
+    mesh's "shot" axis (per-shot programs are independent; outputs come
+    back shot-sharded).
     """
 
     def one(shot_src):

@@ -78,6 +78,41 @@ def test_shots_misfit_differentiable():
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
 
 
+def test_sharded_shots_match_unsharded():
+    """Shot-axis data parallelism over a device mesh: sharded run equals
+    the single-device vmap bitwise-ish (8 virtual devices, 8 shots)."""
+    from jax.sharding import Mesh
+
+    from seigen_tpu.solver.shots import shard_shots
+
+    dm = build_discrete(rect_mesh(6, 6), 1)
+    p = build_params(dm, MAT, dtype=jnp.float64)
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    st = State(u=jnp.zeros((E, n_p, 2)), s=jnp.zeros((E, n_p, 3)))
+    rcv = build_receivers(dm, line((0.2, 0.9), (0.8, 0.9), 3),
+                          dtype=jnp.float64)
+    xs = np.linspace(0.25, 0.75, 8)
+    shots = stack_shots([
+        build_sources(dm, [PointSource(position=(float(x), 0.5), f0=3.0)],
+                      dtype=jnp.float64) for x in xs])
+    n = 10
+    ref_fins, ref_seis = jax.jit(
+        lambda p, st: run_shots(p, st, dt, n, shots, receivers=rcv)
+    )(p, st)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shot",))
+    shots_sh = shard_shots(shots, mesh)
+    fins, seis = jax.jit(
+        lambda p, st, sh: run_shots(p, st, dt, n, sh, receivers=rcv)
+    )(p, st, shots_sh)
+    assert len(seis.sharding.device_set) == 8  # actually shot-parallel
+    np.testing.assert_allclose(np.asarray(seis), np.asarray(ref_seis),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(fins.u), np.asarray(ref_fins.u),
+                               rtol=1e-12, atol=1e-15)
+
+
 def test_stack_shots_rejects_mismatched():
     dm, p, dt, st, rcv, shot_list = _setup()
     bad = build_sources(
