@@ -277,7 +277,10 @@ def main():
             if exch is None:
                 impl = "lane_u"
             else:
-                impl = "fused" if args.order == 4 else "lane"
+                # fused (trace-emitting) pipeline wins in 3D; in 2D the v1
+                # lane path measures slightly faster (BENCH_NOTES)
+                impl = ("fused" if args.order == 4 and dim == 3
+                        else "lane")
         if impl in ("lane", "fused", "lane_u") and args.scheme == "lf":
             from seigen_tpu.ops.structured_exchange import detect_structured
 
