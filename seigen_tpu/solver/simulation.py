@@ -36,6 +36,11 @@ class SimConfig:
     absorbing_sides: tuple = ()  # rest default to free surface
     sponge_width: float = 0.0
     sponge_alpha: float = 2.0
+    scheme: str = "lf"  # lf (central flux + leapfrog) | upwind-rk4
+    # viscoelastic attenuation (upwind-rk4 scheme only); None = elastic
+    q_kappa: float | None = None
+    q_mu: float | None = None
+    q_band: tuple | None = None  # (f_min, f_max); required with q_*
 
 
 class ElasticSimulation:
@@ -95,6 +100,25 @@ class ElasticSimulation:
             float(self.dm.h.min()), vp_max, config.degree, config.cfl
         )
         self._dtype = dtype
+        self._wdata = self._visco = None
+        if config.scheme == "upwind-rk4":
+            from ..ops.upwind import build_upwind_data
+
+            self._wdata = build_upwind_data(self.dm, material, dtype=dtype)
+            if config.q_kappa or config.q_mu:
+                if not config.q_band:
+                    raise ValueError("q_band=(f_min, f_max) is required "
+                                     "with q_kappa/q_mu")
+                from ..ops.viscoelastic import build_visco
+
+                self._visco = build_visco(
+                    self.params, config.q_kappa or np.inf,
+                    config.q_mu or np.inf, *config.q_band)
+        elif config.q_kappa or config.q_mu:
+            raise ValueError("attenuation requires scheme='upwind-rk4'")
+        elif config.scheme != "lf":
+            raise ValueError(f"unknown scheme {config.scheme!r}")
+
         self._vel_op, self._stress_op = self._select_ops(config.impl)
 
     def _select_ops(self, impl: str):
@@ -171,6 +195,22 @@ class ElasticSimulation:
         """Run to time T; returns (final State, seismograms or None)."""
         n_steps = max(int(np.ceil(T / self.dt)), 1)
         state = state if state is not None else self.zero_state()
+        if self._wdata is not None:
+            from .rk4 import run_rk4, run_rk4_visco
+
+            if self._visco is not None:
+                fin, _, seis = jax.jit(
+                    lambda p, w, v, st: run_rk4_visco(
+                        p, w, v, st, self.dt, n_steps, src=self.sources,
+                        damp=self.damp, receivers=self.receivers)
+                )(self.params, self._wdata, self._visco, state)
+            else:
+                fin, seis = jax.jit(
+                    lambda p, w, st: run_rk4(
+                        p, w, st, self.dt, n_steps, src=self.sources,
+                        damp=self.damp, receivers=self.receivers)
+                )(self.params, self._wdata, state)
+            return fin, (None if seis is None else np.asarray(seis))
         if getattr(self, "_impl", None) == "lane":
             from .lane_major import LaneMajorRunner
 
