@@ -219,6 +219,8 @@ class ElasticSimulation:
                     self.params, self._ex, self.dt,
                     order=self.config.order, src=self.sources,
                     damp=self.damp, receivers=self.receivers,
+                    interpret=jax.devices()[0].platform
+                    not in ("tpu", "axon"),
                 )
             return self._lane_runner.run(state, n_steps)
         if getattr(self, "_impl", None) == "lane_u":
@@ -230,6 +232,8 @@ class ElasticSimulation:
                     src=self.sources, damp=self.damp,
                     receivers=self.receivers,
                     centroids=np.asarray(self.dm.coords.mean(axis=1)),
+                    interpret=jax.devices()[0].platform
+                    not in ("tpu", "axon"),
                 )
             return self._lane_runner.run(state, n_steps)
         runner = jax.jit(
