@@ -35,7 +35,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
             with timer.region("run"):
                 impl_used = impl
                 if impl == "auto":
-                    for cand in ("lane", "pallas_roll", "xla_roll",
+                    for cand in ("fused", "lane", "pallas_roll", "xla_roll",
                                  "einsum"):
                         try:
                             res = measure(p, src, damp, dt, state0,
