@@ -102,7 +102,41 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
-    if impl in ("lane", "fused", "lane_u"):
+    if impl in ("lane", "fused", "lane_u", "lane_sharded"):
+        if impl == "lane_sharded":
+            # production config-5 pipeline through the bench surface; with
+            # one local device this is the 1-shard hardware validation of
+            # the sharded machinery (docs/VALIDATION.md), with a pod it is
+            # the real strong-scaling measurement
+            from ..ops.structured_exchange import detect_structured
+            from ..parallel.lane_sharded import ShardedLaneRunner
+
+            ex = detect_structured(dm)
+            if ex is None:
+                raise ValueError("lane_sharded requires a structured mesh")
+            n_shards = len(jax.devices())
+            while ex.grid[0] % n_shards:
+                n_shards -= 1
+            runner = ShardedLaneRunner(p, ex, dt, n_shards, order=order,
+                                       src=src, damp=damp)
+            if warmup:
+                fin, _ = runner.run(state0, n_steps)
+                np.asarray(fin.u[0, 0, 0])
+            dt_wall = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fin, _ = runner.run(state0, n_steps)
+                np.asarray(fin.u[0, 0, 0])
+                dt_wall = min(dt_wall, time.perf_counter() - t0)
+            E = state0.u.shape[0]
+            n_p = state0.u.shape[1]
+            n_dof = E * n_p * (dim + n_sig_for(dim))
+            return BenchResult(
+                dof_updates_per_sec=n_dof * n_steps / dt_wall,
+                steps_per_sec=n_steps / dt_wall,
+                n_elements=E, n_dof=n_dof, degree=p.degree,
+                n_steps=n_steps, seconds=dt_wall,
+            )
         if impl == "lane_u":
             from ..solver.lane_unstructured import UnstructuredLaneRunner
 
