@@ -329,6 +329,10 @@ def main():
                                               src=src, damp=damp)
                 print(f"viscoelastic: Qp={args.qp} Qs={args.qs} "
                       f"band=[{0.25*f0:.2f},{2.5*f0:.2f}] Hz")
+                if args.checkpoint or args.resume:
+                    print("WARNING: memory variables (xi) are not stored "
+                          "in checkpoints; a resumed viscoelastic run "
+                          "restarts xi=0 (short attenuation transient)")
             else:
                 step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
         elif args.qp is not None or args.qs is not None:

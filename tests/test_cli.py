@@ -85,6 +85,23 @@ def test_explosive_source_cli_gmsh_mesh(tmp_path):
     assert np.all(np.isfinite(z["seismograms"]))
 
 
+def test_explosive_source_cli_lane_impl(tmp_path):
+    """--impl lane (interpret mode on CPU) through the CLI matches the
+    einsum path's seismograms."""
+    out_l = str(tmp_path / "l.npz")
+    out_e = str(tmp_path / "e.npz")
+    common = ["scripts/explosive_source.py", "--dim", "2", "--n", "4",
+              "--degree", "1", "--T", "0.1", "--cpu"]
+    rl = run_cli(common + ["--impl", "lane", "--out", out_l])
+    assert rl.returncode == 0, rl.stdout + rl.stderr
+    assert "impl: lane" in rl.stdout
+    re_ = run_cli(common + ["--impl", "einsum", "--out", out_e])
+    assert re_.returncode == 0, re_.stdout + re_.stderr
+    np.testing.assert_allclose(
+        np.load(out_l)["seismograms"], np.load(out_e)["seismograms"],
+        rtol=2e-4, atol=1e-7)
+
+
 def test_explosive_source_cli_viscoelastic(tmp_path):
     """--qp/--qs viscoelastic attenuation through the CLI: runs, finite,
     and decays faster than the elastic run."""
