@@ -59,7 +59,12 @@ class ElasticSimulation:
         config: SimConfig = SimConfig(),
         sources: list[PointSource] | None = None,
         receiver_points: np.ndarray | None = None,
+        stiffness: np.ndarray | None = None,
     ):
+        """``stiffness``: optional per-element Voigt stiffness
+        (n_sig, n_sig) or (E, n_sig, n_sig) for anisotropic media
+        (ops/anisotropic.py); forces the einsum operator path
+        (central-flux LF schemes only)."""
         if topology.structure is None and not topology.periodic:
             from ..mesh.recover import recover_structure
 
@@ -95,7 +100,23 @@ class ElasticSimulation:
                 ),
                 dtype=dtype,
             )
+        self._stiffness = None
+        if stiffness is not None:
+            if config.scheme != "lf":
+                raise ValueError("anisotropy supports scheme='lf' only")
+            n_sig = n_sig_for(self.dm.dim)
+            E = self.dm.num_elements
+            C = np.broadcast_to(np.asarray(stiffness),
+                                (E, n_sig, n_sig))
+            self._stiffness = jnp.asarray(C, dtype)
         vp_max = float(np.asarray(material.vp).max())
+        if self._stiffness is not None:
+            # CFL bound: phase speeds are bounded by sqrt(||C||_2/rho)
+            # <= sqrt(||C||_F/rho); cheap per-element Frobenius bound
+            Cf = np.asarray(self._stiffness, np.float64)
+            fro = np.sqrt((Cf * Cf).sum(axis=(1, 2))).max()
+            rho_min = float(np.asarray(material.rho).min())
+            vp_max = max(vp_max, float(np.sqrt(fro / rho_min)))
         self.dt = cfl_dt(
             float(self.dm.h.min()), vp_max, config.degree, config.cfl
         )
@@ -133,6 +154,14 @@ class ElasticSimulation:
             make_structured_ops,
         )
 
+        if self._stiffness is not None:
+            if impl not in ("auto", "einsum"):
+                raise ValueError("anisotropic stiffness runs the einsum "
+                                 f"path; impl {impl!r} unsupported")
+            from ..ops.anisotropic import make_aniso_stress_op
+
+            self._impl = "einsum"
+            return apply_vel_op, make_aniso_stress_op(self._stiffness)
         ex = None
         if impl in ("auto", "xla_roll", "pallas_roll", "lane"):
             ex = detect_structured(self.dm)

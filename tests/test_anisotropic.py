@@ -108,3 +108,40 @@ def test_vti_sh_wave_speed():
     assert e_good < 0.02, e_good
     expected_phase_err = 2 * abs(np.sin(np.pi * (c_sh / vs - 1.0)))
     assert e_iso > 0.5 * expected_phase_err, (e_iso, expected_phase_err)
+
+
+def test_facade_stiffness_option():
+    """ElasticSimulation(stiffness=C) runs the aniso einsum path; an
+    isotropic C reproduces the isotropic facade solution (same dt forced
+    via equal CFL inputs is not guaranteed, so compare fields after the
+    same physical time with a loose tolerance)."""
+    from seigen_tpu.ops.anisotropic import iso_stiffness
+    from seigen_tpu.solver import PointSource, line
+    from seigen_tpu.solver.simulation import ElasticSimulation, SimConfig
+
+    mat = MAT
+    lam, mu = float(np.asarray(mat.lam)), float(np.asarray(mat.mu))
+    cfg = SimConfig(degree=2, dtype="float64",
+                    free_sides=((1, "hi"),),
+                    absorbing_sides=((0, "lo"), (0, "hi"), (1, "lo")),
+                    sponge_width=0.2)
+    kw = dict(
+        sources=[PointSource(position=(0.5, 0.6), f0=3.0, radius=0.2)],
+        receiver_points=line((0.3, 0.9), (0.7, 0.9), 3))
+    sim_i = ElasticSimulation(rect_mesh(8, 8), mat, cfg, **kw)
+    sim_a = ElasticSimulation(rect_mesh(8, 8), mat, cfg,
+                              stiffness=iso_stiffness(lam, mu, 2), **kw)
+    assert sim_a._impl == "einsum"
+    fin_i, _ = sim_i.run(0.25)
+    fin_a, _ = sim_a.run(0.25)
+    u_i, u_a = np.asarray(fin_i.u).ravel(), np.asarray(fin_a.u).ravel()
+    corr = (u_i @ u_a) / (np.linalg.norm(u_i) * np.linalg.norm(u_a))
+    assert corr > 0.999, corr
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ElasticSimulation(
+            rect_mesh(4, 4), mat,
+            SimConfig(degree=1, scheme="upwind-rk4"),
+            stiffness=iso_stiffness(lam, mu, 2))
