@@ -45,7 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .elastic import ElasticParams, voigt_map
 
-DEFAULT_BLOCK = 256
+# lane-block sweep (BENCH_NOTES round 2): 512 beats 256 for the fused
+# pipeline at BOTH n=24 (2.39 vs 2.36 G) and n=32 (2.28 vs 2.19 G);
+# 128 is ~12% worse.  (The v1 pipeline keeps 256: round-1 measured 512
+# regressing there at n=32.)
+DEFAULT_BLOCK = 512
 
 
 def _rup(x, m=8):
