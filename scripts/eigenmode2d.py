@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--periods", type=float, default=1.0,
                     help="simulation length in eigenmode periods")
     ap.add_argument("--mode", choices=["S", "P"], default="S")
+    ap.add_argument("--scheme", choices=["lf", "upwind-rk4"], default="lf",
+                    help="'upwind-rk4' restores q+1 orders at odd degrees")
     ap.add_argument("--f64", action="store_true",
                     help="float64 (CPU or emulated-TPU; strict orders)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -69,13 +71,27 @@ def main():
                     args.cfl)
         n_steps = int(np.ceil(T / dt))
         dt = T / n_steps
-        st = State(
-            u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
-            s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt), dtype=dtype),
-        )
-        fin, _ = jax.jit(
-            lambda p, st: run(p, st, dt, n_steps, order=args.order)
-        )(p, st)
+        if args.scheme == "upwind-rk4":
+            from seigen_tpu.ops.upwind import build_upwind_data
+            from seigen_tpu.solver.rk4 import run_rk4
+
+            wdata = build_upwind_data(dm, mat, dtype=dtype)
+            st = State(
+                u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
+                s=jnp.asarray(interpolate(dm, pw.sigma, 0.0), dtype=dtype),
+            )
+            fin, _ = jax.jit(
+                lambda p, w, st: run_rk4(p, w, st, dt, n_steps)
+            )(p, wdata, st)
+        else:
+            st = State(
+                u=jnp.asarray(interpolate(dm, pw.u, 0.0), dtype=dtype),
+                s=jnp.asarray(interpolate(dm, pw.sigma, 0.5 * dt),
+                              dtype=dtype),
+            )
+            fin, _ = jax.jit(
+                lambda p, st: run(p, st, dt, n_steps, order=args.order)
+            )(p, st)
         err = l2_error(dm, np.asarray(fin.u), pw.u, n_steps * dt)
         results.append({"N": N, "h": 1.0 / N, "steps": n_steps,
                         "l2_error_u": err})
