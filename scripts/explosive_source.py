@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", type=str, default=None)
+    ap.add_argument("--vti", type=str, default=None,
+                    help="'epsilon,delta,gamma' Thomsen parameters: VTI "
+                         "anisotropic medium (3D, scheme lf, einsum path)")
     ap.add_argument("--qp", type=float, default=None,
                     help="P/bulk quality factor Q_kappa (viscoelastic "
                          "attenuation; requires --scheme upwind-rk4)")
@@ -190,7 +193,25 @@ def main():
         else:
             mat = Material(rho=1.0, vp=2.0, vs=1.0)
 
+        aniso_C = None
         vp_max = float(np.asarray(mat.vp).max())
+        if args.vti:
+            if dim != 3:
+                raise SystemExit("--vti needs a 3D run")
+            if args.scheme != "lf" or args.shards:
+                raise SystemExit("--vti supports single-chip --scheme lf")
+            from seigen_tpu.ops.anisotropic import vti_stiffness
+
+            eps_, del_, gam_ = (float(x) for x in args.vti.split(","))
+            C = vti_stiffness(np.asarray(mat.vp), np.asarray(mat.vs),
+                              np.asarray(mat.rho), eps_, del_, gam_)
+            aniso_C = np.broadcast_to(C, (dm.num_elements, 6, 6))
+            # CFL bound: phase speeds <= sqrt(||C||_F / rho)
+            fro = np.sqrt((aniso_C**2).sum(axis=(1, 2))).max()
+            vp_max = max(vp_max,
+                         float(np.sqrt(fro / np.asarray(mat.rho).min())))
+            print(f"VTI: epsilon={eps_} delta={del_} gamma={gam_} "
+                  f"(vmax bound {vp_max:.2f})")
         h = float(dm.h.min())
         f0 = args.f0 if args.f0 else 0.2 * vp_max / h / (args.degree + 1)
         p = build_params(dm, mat, dtype=dtype)
@@ -270,6 +291,8 @@ def main():
         runner = None
         impl = args.impl
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        if aniso_C is not None:
+            impl = "einsum"  # aniso stress op rides the einsum path
         if impl == "auto" and args.scheme == "lf" and on_tpu:
             from seigen_tpu.ops.structured_exchange import detect_structured
 
@@ -345,6 +368,13 @@ def main():
             v_op, s_op = make_pallas_ops(p)
             step_fn = make_step(p, dt, order=args.order, src=src, damp=damp,
                                 vel_op=v_op, stress_op=s_op)
+        elif aniso_C is not None:
+            from seigen_tpu.ops.anisotropic import make_aniso_stress_op
+
+            step_fn = make_step(
+                p, dt, order=args.order, src=src, damp=damp,
+                stress_op=make_aniso_stress_op(
+                    jnp.asarray(aniso_C, dtype)))
         else:
             step_fn = make_step(p, dt, order=args.order, src=src, damp=damp)
 

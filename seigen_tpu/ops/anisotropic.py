@@ -43,9 +43,15 @@ def iso_stiffness(lam, mu, dim: int) -> np.ndarray:
 
 def vti_stiffness(vp, vs, rho, epsilon=0.0, delta=0.0, gamma=0.0
                   ) -> np.ndarray:
-    """3D VTI stiffness from Thomsen parameters (weak-anisotropy exact
+    """VTI stiffness from Thomsen parameters (weak-anisotropy exact
     forms): C33 = rho vp^2, C44 = rho vs^2, C11 = C33 (1 + 2 epsilon),
-    C66 = C44 (1 + 2 gamma), C13 from the exact delta relation."""
+    C66 = C44 (1 + 2 gamma), C13 from the exact delta relation.
+
+    Inputs broadcast: scalars give (6, 6); per-element (E,) arrays give
+    (E, 6, 6)."""
+    vp, vs, rho, epsilon, delta, gamma = np.broadcast_arrays(
+        *(np.asarray(a, dtype=np.float64)
+          for a in (vp, vs, rho, epsilon, delta, gamma)))
     C33 = rho * vp * vp
     C44 = rho * vs * vs
     C11 = C33 * (1.0 + 2.0 * epsilon)
@@ -53,13 +59,14 @@ def vti_stiffness(vp, vs, rho, epsilon=0.0, delta=0.0, gamma=0.0
     C12 = C11 - 2.0 * C66
     C13 = np.sqrt(
         2.0 * delta * C33 * (C33 - C44) + (C33 - C44) ** 2) - C44
-    C = np.zeros((6, 6))
-    C[0, 0] = C[1, 1] = C11
-    C[2, 2] = C33
-    C[0, 1] = C[1, 0] = C12
-    C[0, 2] = C[2, 0] = C[1, 2] = C[2, 1] = C13
-    C[3, 3] = C[4, 4] = C44
-    C[5, 5] = C66
+    C = np.zeros(C33.shape + (6, 6))
+    C[..., 0, 0] = C[..., 1, 1] = C11
+    C[..., 2, 2] = C33
+    C[..., 0, 1] = C[..., 1, 0] = C12
+    C[..., 0, 2] = C[..., 2, 0] = C13
+    C[..., 1, 2] = C[..., 2, 1] = C13
+    C[..., 3, 3] = C[..., 4, 4] = C44
+    C[..., 5, 5] = C66
     return C
 
 

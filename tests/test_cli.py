@@ -123,6 +123,20 @@ def test_explosive_source_cli_viscoelastic(tmp_path):
     assert np.abs(sv[n:]).max() < np.abs(se[n:]).max()
 
 
+def test_explosive_source_cli_vti(tmp_path):
+    """--vti Thomsen anisotropy end-to-end: runs stable/finite through
+    the aniso einsum path (operator-level physics is verified in
+    tests/test_anisotropic.py)."""
+    out_a = str(tmp_path / "a.npz")
+    r = run_cli(["scripts/explosive_source.py", "--dim", "3", "--n", "4",
+                 "--degree", "1", "--T", "0.25", "--cpu",
+                 "--vti", "0.25,0.1,0.3", "--out", out_a])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "VTI:" in r.stdout
+    sa = np.load(out_a)["seismograms"]
+    assert np.all(np.isfinite(sa)) and np.abs(sa).max() > 1e-12
+
+
 def test_fwi_cli(tmp_path):
     """FWI demo end-to-end: misfit decreases, model artifact written."""
     out = str(tmp_path / "fwi.npz")
