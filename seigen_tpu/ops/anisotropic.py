@@ -70,6 +70,37 @@ def vti_stiffness(vp, vs, rho, epsilon=0.0, delta=0.0, gamma=0.0
     return C
 
 
+def rotate_stiffness(C: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Bond transformation: Voigt stiffness under rotation R (3x3).
+
+    C' = M C M^T with the 6x6 Bond matrix of R — turns a VTI stiffness
+    into tilted-TI/HTI media (e.g. R = rotation of the symmetry axis from
+    z to x gives HTI).  Broadcasts over leading element axes of C.
+    """
+    R = np.asarray(R, dtype=np.float64)
+    # Voigt pair order: (0,0), (1,1), (2,2), (1,2), (0,2), (0,1)
+    p = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+    M = np.zeros((6, 6))
+    for I, (i, j) in enumerate(p):
+        for J, (k, l) in enumerate(p):
+            if J < 3:
+                M[I, J] = R[i, k] * R[j, k]
+            else:
+                M[I, J] = R[i, k] * R[j, l] + R[i, l] * R[j, k]
+    return np.einsum("ab,...bc,dc->...ad", M, np.asarray(C), M)
+
+
+def hti_stiffness(vp, vs, rho, epsilon=0.0, delta=0.0, gamma=0.0
+                  ) -> np.ndarray:
+    """TI medium with HORIZONTAL (x) symmetry axis: VTI rotated z->x
+    (fracture-induced azimuthal anisotropy)."""
+    Rzx = np.array([[0.0, 0.0, 1.0],
+                    [0.0, 1.0, 0.0],
+                    [-1.0, 0.0, 0.0]])
+    return rotate_stiffness(
+        vti_stiffness(vp, vs, rho, epsilon, delta, gamma), Rzx)
+
+
 def christoffel_speeds(C: np.ndarray, rho: float, n) -> np.ndarray:
     """Phase speeds (ascending) for propagation direction n (3D Voigt C)."""
     n = np.asarray(n, dtype=np.float64)

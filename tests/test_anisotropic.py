@@ -145,3 +145,27 @@ def test_facade_stiffness_option():
             rect_mesh(4, 4), mat,
             SimConfig(degree=1, scheme="upwind-rk4"),
             stiffness=iso_stiffness(lam, mu, 2))
+
+
+def test_bond_rotation():
+    """Bond transformation sanity: rotations leave isotropic C invariant;
+    rotating VTI z->x (HTI) swaps the qP axis speeds; symmetry preserved."""
+    from seigen_tpu.ops.anisotropic import hti_stiffness, rotate_stiffness
+
+    lam, mu, rho = 2.0, 1.0, 1.3
+    Ci = iso_stiffness(lam, mu, 3)
+    th = 0.7
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    np.testing.assert_allclose(rotate_stiffness(Ci, R), Ci, atol=1e-12)
+
+    vp, vs, eps, gam = 2.0, 1.0, 0.2, 0.3
+    Ch = hti_stiffness(vp, vs, 1.0, epsilon=eps, delta=0.1, gamma=gam)
+    np.testing.assert_allclose(Ch, Ch.T, atol=1e-12)  # symmetric
+    # symmetry axis now x: qP along x = vp; along z = vp sqrt(1+2 eps)
+    np.testing.assert_allclose(
+        christoffel_speeds(Ch, 1.0, [1, 0, 0])[2], vp, rtol=1e-12)
+    np.testing.assert_allclose(
+        christoffel_speeds(Ch, 1.0, [0, 0, 1])[2],
+        vp * np.sqrt(1 + 2 * eps), rtol=1e-12)
