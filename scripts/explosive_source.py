@@ -225,8 +225,10 @@ def main():
         n_steps = int(np.ceil(args.T / dt))
         E, n_p = dm.num_elements, dm.re.n_p
 
+        resume_extras = {}
         if args.resume:
-            st, step0, _ = load_checkpoint(args.resume, dtype=dtype)
+            st, step0, _ckmeta = load_checkpoint(args.resume, dtype=dtype)
+            resume_extras = _ckmeta.get("_extras", {})
         else:
             st, step0 = State(
                 u=jnp.zeros((E, n_p, dim), dtype=dtype),
@@ -352,10 +354,6 @@ def main():
                                               src=src, damp=damp)
                 print(f"viscoelastic: Qp={args.qp} Qs={args.qs} "
                       f"band=[{0.25*f0:.2f},{2.5*f0:.2f}] Hz")
-                if args.checkpoint or args.resume:
-                    print("WARNING: memory variables (xi) are not stored "
-                          "in checkpoints; a resumed viscoelastic run "
-                          "restarts xi=0 (short attenuation transient)")
             else:
                 step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
         elif args.qp is not None or args.qs is not None:
@@ -402,10 +400,11 @@ def main():
                 fin, ys = jax.lax.scan(body, st, jnp.arange(k))
                 return fin, None, ys
 
-        xi = (
-            jnp.zeros((E, n_p, n_sig_for(dim), visco.L), dtype)
-            if visco is not None else None
-        )
+        xi = None
+        if visco is not None:
+            xi = resume_extras.get(
+                "xi",
+                jnp.zeros((E, n_p, n_sig_for(dim), visco.L), dtype))
         with timer.region("run"):
             n = step0
             while n < n_steps:
@@ -420,8 +419,9 @@ def main():
                 if args.checkpoint and (
                     n % args.checkpoint_every == 0 or n == n_steps
                 ):
-                    save_checkpoint(args.checkpoint, st, n,
-                                    {"dt": dt, "T": args.T})
+                    save_checkpoint(
+                        args.checkpoint, st, n, {"dt": dt, "T": args.T},
+                        extras=None if xi is None else {"xi": xi})
             jax.block_until_ready(st.u)
 
     seis = np.concatenate(seis_chunks, axis=0) if seis_chunks else None

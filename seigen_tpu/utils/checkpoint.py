@@ -24,7 +24,11 @@ def _norm(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
-def save_checkpoint(path: str, state: State, step: int, meta: dict | None = None):
+def save_checkpoint(path: str, state: State, step: int,
+                    meta: dict | None = None,
+                    extras: dict | None = None):
+    """``extras``: additional named arrays stored alongside (u, s) — e.g.
+    viscoelastic memory variables; returned by load_checkpoint."""
     path = _norm(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(
@@ -33,6 +37,7 @@ def save_checkpoint(path: str, state: State, step: int, meta: dict | None = None
         s=np.asarray(state.s),
         step=np.int64(step),
         meta=json.dumps(meta or {}),
+        **{f"extra_{k}": np.asarray(v) for k, v in (extras or {}).items()},
     )
 
 
@@ -44,7 +49,15 @@ def load_checkpoint(path: str, dtype=None) -> tuple[State, int, dict]:
         if dtype is not None:
             u, s = u.astype(dtype), s.astype(dtype)
         state = State(u=jnp.asarray(u), s=jnp.asarray(s))
-        return state, int(z["step"]), json.loads(str(z["meta"]))
+        meta = json.loads(str(z["meta"]))
+        extras = {
+            k[len("extra_"):]: jnp.asarray(
+                z[k] if dtype is None else z[k].astype(dtype))
+            for k in z.files if k.startswith("extra_")
+        }
+        if extras:
+            meta["_extras"] = extras
+        return state, int(z["step"]), meta
 
 
 def save_checkpoint_orbax(path: str, state: State, step: int):

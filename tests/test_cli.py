@@ -137,6 +137,29 @@ def test_explosive_source_cli_vti(tmp_path):
     assert np.all(np.isfinite(sa)) and np.abs(sa).max() > 1e-12
 
 
+def test_explosive_source_cli_visco_resume(tmp_path):
+    """Viscoelastic checkpoint/resume: memory variables ride the
+    checkpoint (extras), so the resumed run matches the uninterrupted one
+    exactly."""
+    ck = str(tmp_path / "ck")
+    out1 = str(tmp_path / "full.npz")
+    out2 = str(tmp_path / "res.npz")
+    common = ["scripts/explosive_source.py", "--dim", "2", "--n", "6",
+              "--degree", "1", "--cpu", "--scheme", "upwind-rk4",
+              "--qs", "20", "--qp", "20"]
+    r = run_cli(common + ["--T", "0.4", "--out", out1])
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(common + ["--T", "0.2", "--checkpoint", ck])
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = run_cli(common + ["--T", "0.4", "--resume", ck + ".npz",
+                          "--out", out2])
+    assert r.returncode == 0, r.stdout + r.stderr
+    a = np.load(out1)["seismograms"]
+    b = np.load(out2)["seismograms"]
+    np.testing.assert_allclose(a[-len(b):], b, rtol=0,
+                               atol=1e-7 * np.abs(a).max())
+
+
 def test_fwi_cli(tmp_path):
     """FWI demo end-to-end: misfit decreases, model artifact written."""
     out = str(tmp_path / "fwi.npz")
