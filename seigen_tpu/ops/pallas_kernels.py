@@ -272,6 +272,122 @@ def _vel_kernel_trac(dim, n_sig, npp, ftpp,
         out_ref[cout * npp : (cout + 1) * npp, :] = irho * (div + surf)
 
 
+def _select_tiles(panels_ref, combo_ref, sign_ref, selcfg):
+    """Assemble consumer traces (C*ftpp, B) from RAW gathered panels.
+
+    The unstructured exchange's (f2, pi)-select runs HERE, in VMEM, on the
+    per-face lane-take panels — instead of as separate XLA passes with an
+    HBM round-trip of the assembled trace array (measured ~0.8-1.3 ms per
+    exchange at E=83k).  selcfg = (C, nf, nfp, ftp, ftpp, rows_pad,
+    face_combos, perms) — all static.
+    """
+    import jax.numpy as jnp
+
+    C, nf, nfp, ftp, ftpp, rows_pad, face_combos, perms = selcfg
+    G = len(perms)
+    tiles = []
+    for f in range(nf):
+        base = f * rows_pad
+        code_lane = combo_ref[f : f + 1, :]
+        acc = None
+        for code in face_combos[f]:
+            g, pp = divmod(int(code), G)
+            rows = []
+            for c in range(C):
+                r0 = base + c * ftp + g * nfp
+                perm = perms[pp]
+                if tuple(perm) == tuple(range(nfp)):
+                    rows.append(panels_ref[r0 : r0 + nfp, :])
+                else:
+                    rows.extend(
+                        panels_ref[r0 + int(perm[k]) : r0 + int(perm[k])
+                                   + 1, :]
+                        for k in range(nfp))
+            view = (rows[0] if len(rows) == 1
+                    else jnp.concatenate(rows, axis=0))  # (C*nfp, B)
+            acc = (view if acc is None
+                   else jnp.where(code_lane == int(code), view, acc))
+        if sign_ref is not None:
+            acc = acc * sign_ref[f : f + 1, :]
+        tiles.append(acc)
+    B = tiles[0].shape[1]
+    comps = []
+    pad = (jnp.zeros((ftpp - nf * nfp, B), tiles[0].dtype)
+           if ftpp != nf * nfp else None)
+    for c in range(C):
+        parts = [tiles[f][c * nfp : (c + 1) * nfp, :] for f in range(nf)]
+        if pad is not None:
+            parts.append(pad)
+        comps.append(jnp.concatenate(parts, axis=0))
+    return jnp.concatenate(comps, axis=0)
+
+
+def _vel_kernel_trac_sel(dim, n_sig, npp, ftpp, selcfg,
+                         sig_ref, panels_ref, combo_ref, sign_ref,
+                         ginv_ref, nrm_ref, fsc_ref, beta_ref, irho_ref,
+                         drr_ref, lift_ref, out_ref):
+    tr = _select_tiles(panels_ref, combo_ref, sign_ref, selcfg)
+    _vel_kernel_trac(dim, n_sig, npp, ftpp, sig_ref, tr, ginv_ref,
+                     nrm_ref, fsc_ref, beta_ref, irho_ref, drr_ref,
+                     lift_ref, out_ref)
+
+
+def _stress_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
+                       u_ref, panels_ref, combo_ref,
+                       ginv_ref, nrm_ref, fsc_ref, delta_ref,
+                       lam_ref, mu_ref, drr_ref, lift_ref, out_ref):
+    tr = _select_tiles(panels_ref, combo_ref, None, selcfg)
+    _stress_kernel(dim, n_sig, npp, ftpp, u_ref, tr, ginv_ref, nrm_ref,
+                   fsc_ref, delta_ref, lam_ref, mu_ref, drr_ref, lift_ref,
+                   out_ref)
+
+
+def _sel_op(kernel_fn, d, field_lm, panels, combo, sign, geo_arrays,
+            out_rows, selcfg, block, interpret):
+    geo = [_pad_lanes(x, block) for x in geo_arrays]
+    E_pad = field_lm.shape[1]
+    grid = (E_pad // block,)
+    row_counts = [field_lm.shape[0], panels.shape[0], combo.shape[0]]
+    args = [field_lm, panels, combo]
+    if sign is not None:
+        row_counts.append(sign.shape[0])
+        args.append(sign)
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((out_rows, E_pad), field_lm.dtype),
+        grid=grid,
+        in_specs=_lane_specs(block, row_counts + [g.shape[0] for g in geo])
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
+        out_specs=pl.BlockSpec((out_rows, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args, *geo, d.drr, d.lift)
+
+
+def vel_op_lm_trac_sel(d: PallasOpData, sig_lm, panels, combo, sign,
+                       selcfg, block: int = DEFAULT_BLOCK,
+                       interpret: bool = False) -> jax.Array:
+    """vel_op_lm_trac with the (f2, pi)-select fused into the kernel:
+    ``panels`` (nf*rows_pad, E_pad) raw traction lane-takes, ``combo``
+    (8, E_pad) int32 per-face combo codes, ``sign`` (8, E_pad)."""
+    kernel = functools.partial(_vel_kernel_trac_sel, d.dim, d.n_sig,
+                               d.npp, d.ftpp, selcfg)
+    return _sel_op(kernel, d, sig_lm, panels, combo, sign,
+                   (d.ginv, d.nrm, d.fsc, d.beta, d.irho),
+                   d.dim * d.npp, selcfg, block, interpret)
+
+
+def stress_op_lm_sel(d: PallasOpData, u_lm, panels, combo,
+                     selcfg, block: int = DEFAULT_BLOCK,
+                     interpret: bool = False) -> jax.Array:
+    """stress_op_lm with the u-trace (f2, pi)-select fused in-kernel."""
+    kernel = functools.partial(_stress_kernel_sel, d.dim, d.n_sig,
+                               d.npp, d.ftpp, selcfg)
+    return _sel_op(kernel, d, u_lm, panels, combo, None,
+                   (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu),
+                   d.n_sig * d.npp, selcfg, block, interpret)
+
+
 def vel_op_lm_trac(d: PallasOpData, sig_lm: jax.Array, tr_lm: jax.Array,
                    block: int = DEFAULT_BLOCK,
                    interpret: bool = False) -> jax.Array:

@@ -211,6 +211,81 @@ def make_unstructured_exchange_lm(pr: FacePairing, npp: int, ftpp: int,
     return exchange
 
 
+def make_panel_gather(
+        pr: FacePairing, npp: int, ftpp: int, C: int, E: int, E_pad: int,
+        fnodes, nrm_lm: jax.Array | None = None,
+        voigt: np.ndarray | None = None, n_sig: int | None = None):
+    """Raw per-face lane-take panels + static plan for the IN-KERNEL
+    select (ops/pallas_kernels.py vel_op_lm_trac_sel / stress_op_lm_sel).
+
+    Splits the exchange: XLA does extraction (+ traction contraction when
+    ``nrm_lm`` is given) and the nf lane takes; the consumer-side
+    (f2, pi)-select, sign flip, and trace assembly move INTO the operator
+    kernel (VMEM) — removing the select passes and the assembled-trace HBM
+    round-trip.
+
+    Returns (panels_fn: field_lm -> (nf*rows_pad, E_pad), combo (8, E_pad)
+    int32, sign (8, E_pad) or None, selcfg).
+    """
+    nf, nfp = pr.n_faces, pr.n_fp
+    ftp = nf * nfp
+    fn = np.asarray(fnodes)
+    Cin = n_sig if nrm_lm is not None else C
+    R = np.zeros((ftp, npp), dtype=np.float32)
+    R[np.arange(ftp), fn.reshape(-1)] = 1.0
+    Rj = jnp.asarray(R)
+    rows_pad = _rup(C * ftp, 8)
+
+    gid, perms_np = orientation_groups(pr)
+    combo_np = pr.f2 * perms_np.shape[0] + gid  # (E, nf)
+    take_e2 = jnp.asarray(pr.e2.T.copy(), jnp.int32)
+    combo = np.zeros((8, E_pad), dtype=np.int32)
+    combo[:nf, :E] = combo_np.T
+    combo = jnp.asarray(combo)
+    face_combos = tuple(
+        tuple(int(x) for x in np.unique(combo_np[:, f]))
+        for f in range(nf))
+    perms = tuple(tuple(int(x) for x in row) for row in perms_np)
+    selcfg = (C, nf, nfp, ftp, ftpp, rows_pad, face_combos, perms)
+
+    sign = None
+    if nrm_lm is not None:
+        boundary = (pr.e2 == np.arange(E)[:, None]) & (
+            pr.f2 == np.arange(nf)[None, :])
+        s = np.zeros((8, E_pad), dtype=np.float32)
+        s[:nf, :E] = np.where(boundary, 1.0, -1.0).T
+        sign = jnp.asarray(s)
+
+    def panels_fn(f_lm: jax.Array) -> jax.Array:
+        Fp = f_lm.reshape(Cin, npp, E_pad)[:, :, :E]
+        T = jax.lax.dot_general(
+            Rj.astype(f_lm.dtype), Fp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (ftp, Cin, E)
+        if nrm_lm is not None:
+            trac = []
+            for c in range(C):
+                acc = None
+                for dd in range(C):
+                    nd = nrm_lm[dd * ftpp : dd * ftpp + ftp, :E]
+                    term = nd * T[:, voigt[c, dd], :]
+                    acc = term if acc is None else acc + term
+                trac.append(acc)
+            T = jnp.stack(trac, axis=0).reshape(C * ftp, E)
+        else:
+            T = T.transpose(1, 0, 2).reshape(C * ftp, E)
+        if rows_pad != C * ftp:
+            T = jnp.pad(T, ((0, rows_pad - C * ftp), (0, 0)))
+        panels = jnp.concatenate(
+            [jnp.take(T, take_e2[f], axis=1) for f in range(nf)], axis=0)
+        if E_pad != E:
+            panels = jnp.pad(panels, ((0, 0), (0, E_pad - E)))
+        return panels
+
+    return panels_fn, combo, sign, selcfg
+
+
 def make_unstructured_traction_exchange(
         pr: FacePairing, npp: int, ftpp: int, dim: int, n_sig: int,
         E: int, E_pad: int, fnodes, nrm_lm: jax.Array, voigt: np.ndarray):

@@ -16,9 +16,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.elastic import ElasticParams, voigt_map
-from ..ops.pallas_kernels import vel_op_lm_trac
+from ..ops.pallas_kernels import (
+    stress_op_lm_sel,
+    vel_op_lm_trac,
+    vel_op_lm_trac_sel,
+)
 from ..ops.unstructured_exchange import (
     derive_face_pairing,
+    make_panel_gather,
     make_unstructured_exchange_lm,
     make_unstructured_traction_exchange,
     permute_pairing,
@@ -34,8 +39,11 @@ class UnstructuredLaneRunner(LaneMajorRunner):
     """
 
     def __init__(self, p: ElasticParams, dt: float, *, centroids=None,
-                 **kw):
+                 fused_select: bool = True, **kw):
         self._centroids = None if centroids is None else np.asarray(centroids)
+        # fused_select: run the consumer-side (f2, pi)-select inside the
+        # Pallas operator kernels (panels path) instead of as XLA passes
+        self._fused_select = fused_select
         super().__init__(p, None, dt, **kw)
 
     def _element_perm(self):
@@ -56,6 +64,13 @@ class UnstructuredLaneRunner(LaneMajorRunner):
         pr = derive_face_pairing(np.asarray(p.nbr), p.n_p, p.fnodes)
         pr = permute_pairing(pr, self._old_of_new, self._new_of_old)
         self.pairing = pr
+        if self._fused_select:
+            self._pg_u = make_panel_gather(
+                pr, d.npp, d.ftpp, d.dim, E, E_pad, p.fnodes)
+            self._pg_t = make_panel_gather(
+                pr, d.npp, d.ftpp, d.dim, E, E_pad, p.fnodes,
+                nrm_lm=d.nrm, voigt=voigt_map(d.dim), n_sig=d.n_sig)
+            return (lambda x: x), (lambda x: x)  # unused in this mode
         ex_u = make_unstructured_exchange_lm(
             pr, d.npp, d.ftpp, d.dim, E, E_pad, p.fnodes)
         # sigma traces ride as pre-contracted tractions (dim rows instead
@@ -66,5 +81,19 @@ class UnstructuredLaneRunner(LaneMajorRunner):
         return ex_u, ex_t
 
     def _vel(self, d, s_lm):
+        if self._fused_select:
+            fn, combo, sign, selcfg = self._pg_t
+            return vel_op_lm_trac_sel(d, s_lm, fn(s_lm), combo, sign,
+                                      selcfg, self.block, self.interpret)
         return vel_op_lm_trac(d, s_lm, self.ex_s(s_lm), self.block,
                               self.interpret)
+
+    def _stress(self, d, u_lm):
+        if self._fused_select:
+            fn, combo, _, selcfg = self._pg_u
+            return stress_op_lm_sel(d, u_lm, fn(u_lm), combo, selcfg,
+                                    self.block, self.interpret)
+        from ..ops.pallas_kernels import stress_op_lm
+
+        return stress_op_lm(d, u_lm, self.ex_u(u_lm), self.block,
+                            self.interpret)
