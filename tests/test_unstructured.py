@@ -134,8 +134,9 @@ def test_structure_recovery_same_physics():
     np.testing.assert_allclose(seis_b, seis_a, rtol=1e-9, atol=1e-12)
 
 
-@pytest.mark.parametrize("dim,degree", [(2, 2), (3, 1)])
-def test_unstructured_runner_matches_general(dim, degree):
+@pytest.mark.parametrize("dim,degree,fused_select",
+                         [(2, 2, True), (3, 1, True), (2, 2, False)])
+def test_unstructured_runner_matches_general(dim, degree, fused_select):
     topo = (rect_mesh(8, 6) if dim == 2 else box_mesh(3, 2, 2))
     dm = build_discrete(scrambled(topo, seed=11), degree)
     p = build_params(dm, MAT, dtype=jnp.float32)
@@ -162,7 +163,7 @@ def test_unstructured_runner_matches_general(dim, degree):
     runner = UnstructuredLaneRunner(
         p, dt, order=4, src=src, damp=damp, receivers=rcv,
         centroids=np.asarray(dm.coords.mean(axis=1)), block=8,
-        interpret=True)
+        interpret=True, fused_select=fused_select)
     out, seis = runner.run(st, n_steps)
     np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
                                rtol=2e-4, atol=1e-6)
