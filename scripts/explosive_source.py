@@ -46,12 +46,15 @@ def main():
     ap.add_argument("--receivers", type=int, default=16)
     ap.add_argument("--shards", type=int, default=0,
                     help="run mesh-sharded over this many devices")
-    ap.add_argument("--dist-impl", choices=["auto", "lane", "general"],
+    ap.add_argument("--dist-impl",
+                    choices=["auto", "fused", "lane", "general"],
                     default="auto",
-                    help="sharded backend: 'lane' = slab-sharded lane-major "
-                         "Pallas pipeline (structured meshes, shards | G0); "
-                         "'general' = unstructured ppermute halo path; "
-                         "'auto' picks lane when eligible")
+                    help="sharded backend: 'fused' = v3 slab-sharded merged "
+                         "kernels + compact trace-plane ppermute halos "
+                         "(structured meshes, shards | G0); 'lane' = v1 "
+                         "slab-sharded pipeline; 'general' = unstructured "
+                         "ppermute halo path; 'auto' picks fused > lane "
+                         "when eligible")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--vtk", type=str, default=None,
@@ -79,12 +82,13 @@ def main():
                          "(dissipative, optimal odd-degree orders)")
     ap.add_argument("--impl",
                     choices=["auto", "einsum", "pallas", "lane", "fused",
-                             "lane_u"],
+                             "merged", "lane_u"],
                     default="auto",
                     help="operator backend: 'auto' = lane-major TPU "
-                         "pipelines on TPU (fused/lane for structured, "
+                         "pipelines on TPU (merged/lane for structured, "
                          "lane_u for unstructured meshes), einsum "
-                         "elsewhere; 'pallas' = fused kernels with the "
+                         "elsewhere; 'merged' = v3 exchange-in-kernel "
+                         "pipeline; 'pallas' = fused kernels with the "
                          "general gather (the reference's tiling-variant "
                          "analog)")
     args = ap.parse_args()
@@ -244,25 +248,46 @@ def main():
         # kernels when the mesh allows it (structured, shards | G0),
         # general unstructured ppermute halo path otherwise
         runner = None
-        if args.dist_impl == "lane" and args.scheme != "lf":
-            raise SystemExit("--dist-impl lane supports --scheme lf only")
-        if args.dist_impl in ("auto", "lane") and args.scheme == "lf":
+        dist_name = None
+        if args.dist_impl in ("lane", "fused") and args.scheme != "lf":
+            raise SystemExit(f"--dist-impl {args.dist_impl} supports "
+                             "--scheme lf only")
+        if args.dist_impl in ("auto", "lane", "fused") and (
+                args.scheme == "lf"):
             from seigen_tpu.ops.structured_exchange import detect_structured
-            from seigen_tpu.parallel.lane_sharded import ShardedLaneRunner
 
             ex = detect_structured(dm)
-            if ex is not None and ex.grid[0] % args.shards == 0:
+            eligible = ex is not None and ex.grid[0] % args.shards == 0
+            interp = jax.devices()[0].platform == "cpu"
+            if eligible and args.dist_impl in ("auto", "fused") and (
+                    args.order == 4):
+                from seigen_tpu.parallel.fused_sharded import (
+                    ShardedFusedRunner)
+
+                try:
+                    runner = ShardedFusedRunner(
+                        p, ex, dt, args.shards, order=args.order, src=src,
+                        damp=damp, receivers=rcv, interpret=interp)
+                    dist_name = "fused"
+                except ValueError:
+                    if args.dist_impl == "fused":
+                        raise
+            if runner is None and eligible and args.dist_impl in (
+                    "auto", "lane"):
+                from seigen_tpu.parallel.lane_sharded import (
+                    ShardedLaneRunner)
+
                 runner = ShardedLaneRunner(
                     p, ex, dt, args.shards, order=args.order, src=src,
-                    damp=damp, receivers=rcv,
-                    interpret=jax.devices()[0].platform == "cpu",
-                )
-            elif args.dist_impl == "lane":
+                    damp=damp, receivers=rcv, interpret=interp)
+                dist_name = "lane"
+            if runner is None and args.dist_impl in ("lane", "fused"):
                 raise SystemExit(
-                    "--dist-impl lane needs a structured mesh with "
-                    f"shards | G0 (got grid={None if ex is None else ex.grid})")
+                    f"--dist-impl {args.dist_impl} needs a structured mesh "
+                    "with shards | G0 "
+                    f"(got grid={None if ex is None else ex.grid})")
         if runner is not None:
-            print(f"sharded path: lane (slab x{args.shards})")
+            print(f"sharded path: {dist_name} (slab x{args.shards})")
             with timer.region("run"):
                 fin, seis = runner.run(st, n_steps - step0, step0=step0)
                 seis_chunks.append(seis)
@@ -306,7 +331,8 @@ def main():
                 # lane path measures slightly faster (BENCH_NOTES)
                 impl = ("fused" if args.order == 4 and dim == 3
                         else "lane")
-        if impl in ("lane", "fused", "lane_u") and args.scheme == "lf":
+        if impl in ("lane", "fused", "merged", "lane_u") and (
+                args.scheme == "lf"):
             from seigen_tpu.ops.structured_exchange import detect_structured
 
             interp = not on_tpu
@@ -323,7 +349,14 @@ def main():
                 if exch is None:
                     raise SystemExit(f"--impl {impl} needs a structured "
                                      "mesh (use lane_u)")
-                if impl == "fused":
+                if impl == "merged":
+                    from seigen_tpu.solver.lane_merged import (
+                        MergedLaneRunner)
+
+                    runner = MergedLaneRunner(
+                        p, exch, dt, order=args.order, src=src, damp=damp,
+                        receivers=rcv, interpret=interp)
+                elif impl == "fused":
                     from seigen_tpu.solver.lane_fused import FusedLaneRunner
 
                     runner = FusedLaneRunner(

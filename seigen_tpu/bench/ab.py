@@ -95,6 +95,42 @@ def run_ab(n=24, degree=3, steps=50, impl="fused"):
             return s
 
         rows["k6"] = _timed_scan(k6, slm, (d, trs, tru), steps)
+    elif impl == "merged":
+        from ..ops.merged_kernels import stress_merged, vel_merged
+        from ..solver.lane_merged import MergedLaneRunner
+
+        r = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp)
+        d = r.d
+        plan = r.plan
+        ulm, slm = r.to_lm_state(state0)
+        trs = r.traction_traces(slm)
+
+        rows["step"] = _timed_scan(
+            lambda c, a: r.step_with(a[0], r._aux(), c, 0.0),
+            (ulm, slm, trs), (d,), steps)
+
+        # 6-op chain without injection/damp (the merged ops ARE the
+        # exchange; no separate exchange row exists in this pipeline)
+        def k6(c, a):
+            d_, trs_ = a
+            s = c
+            for _ in range(3):
+                uh, tru_ = vel_merged(plan, d_, s, trs_, r.mask)
+                s, _tt = stress_merged(plan, d_, uh, tru_, r.mask)
+            return s
+
+        rows["k6"] = _timed_scan(k6, slm, (d, trs), steps)
+
+        # one vel op in isolation (self-composable via shape: feed sigma,
+        # discard shape change by re-adding)
+        def vel1(c, a):
+            d_, trs_ = a
+            uh, _ = vel_merged(plan, d_, c, trs_, r.mask)
+            return c + 1e-30 * jnp.concatenate(
+                [uh, uh[: c.shape[0] - uh.shape[0]]], axis=0)[: c.shape[0]]
+
+        rows["vel3"] = _timed_scan(
+            lambda c, a: vel1(vel1(vel1(c, a), a), a), slm, (d, trs), steps)
     else:
         from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
         from ..solver.lane_major import LaneMajorRunner

@@ -102,8 +102,24 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
-    if impl in ("lane", "fused", "lane_u", "lane_sharded"):
-        if impl == "lane_sharded":
+    if impl in ("lane", "fused", "merged", "lane_u", "lane_sharded",
+                "fused_sharded"):
+        if impl == "fused_sharded":
+            # v3 multi-chip pipeline (config 5): merged kernels + compact
+            # trace-plane ppermute; at one local device this is the 1-shard
+            # hardware validation, on a pod the strong-scaling measurement
+            from ..ops.structured_exchange import detect_structured
+            from ..parallel.fused_sharded import ShardedFusedRunner
+
+            ex = detect_structured(dm)
+            if ex is None:
+                raise ValueError("fused_sharded requires a structured mesh")
+            n_shards = len(jax.devices())
+            while ex.grid[0] % n_shards:
+                n_shards -= 1
+            runner = ShardedFusedRunner(p, ex, dt, n_shards, order=order,
+                                        src=src, damp=damp)
+        elif impl == "lane_sharded":
             # production config-5 pipeline through the bench surface; with
             # one local device this is the 1-shard hardware validation of
             # the sharded machinery (docs/VALIDATION.md), with a pod it is
@@ -155,6 +171,11 @@ def measure(
 
             runner = FusedLaneRunner(p, ex, dt, order=order, src=src,
                                      damp=damp)
+        elif impl == "merged":
+            from ..solver.lane_merged import MergedLaneRunner
+
+            runner = MergedLaneRunner(p, ex, dt, order=order, src=src,
+                                      damp=damp)
         elif impl == "lane":
             from ..solver.lane_major import LaneMajorRunner
 
@@ -243,8 +264,8 @@ def main(n: int = 24, degree: int = 3, n_steps: int = 50,
         # regresses on a new runtime
         errors = {}
         res = None
-        for candidate in ("fused", "lane", "pallas_roll", "xla_roll",
-                          "einsum"):
+        for candidate in ("merged", "fused", "lane", "pallas_roll",
+                          "xla_roll", "einsum"):
             try:
                 res = measure(p, src, damp, dt, state0, n_steps=n_steps,
                               impl=candidate, dm=dm)

@@ -73,6 +73,11 @@ class FusedOpData:
       bfs   beta_t * Fscale
       dfs   delta_u * Fscale
       mat   row 0 = 1/rho, row 1 = lambda, row 2 = mu
+      C     (anisotropic only) n_sig sections of 8 rows: row c*8+k holds
+            the Voigt stiffness C[c, k] (engineering strains)
+
+    ``off`` = (ginv, nrm, scb, bfs, dfs, mat, C, total); C = -1 for
+    isotropic media (the kernels then apply the lambda/mu Hooke law).
     """
 
     drr: jax.Array  # (dim*npp + ftpp, npp): [Dr stack; own-face restriction]
@@ -95,11 +100,16 @@ class FusedOpData:
 _FUSED_CACHE: dict[int, tuple] = {}
 
 
-def build_fused_data(p: ElasticParams, damp=None) -> FusedOpData:
-    # cache only the damp-free variant: damp arrays are transient
+def build_fused_data(p: ElasticParams, damp=None,
+                     stiffness=None) -> FusedOpData:
+    """stiffness: optional (E, n_sig, n_sig) per-element Voigt stiffness
+    (engineering strains, ops/anisotropic.py conventions) in the SAME
+    element order as p — switches the stress kernels to the general
+    C-contraction Hooke law."""
+    # cache only the plain variant: damp/stiffness arrays are transient
     # per-runner objects whose ids can be reused after GC
     key = id(p)
-    if damp is None:
+    if damp is None and stiffness is None:
         hit = _FUSED_CACHE.get(key)
         if hit is not None and hit[0]() is p:
             return hit[1]
@@ -132,7 +142,9 @@ def build_fused_data(p: ElasticParams, damp=None) -> FusedOpData:
     o_bfs = o_scb + 8
     o_dfs = o_bfs + 8
     o_mat = o_dfs + 8
-    total = o_mat + 8
+    n_sig = p.n_sig
+    o_C = o_mat + 8 if stiffness is not None else -1
+    total = o_mat + 8 + (n_sig * 8 if stiffness is not None else 0)
     geo = np.zeros((total, E), dtype=np.float32)
     geo[: dim * dim] = (
         np.asarray(p.Ginv).transpose(1, 2, 0).reshape(dim * dim, E))
@@ -146,6 +158,10 @@ def build_fused_data(p: ElasticParams, damp=None) -> FusedOpData:
     geo[o_mat + 0] = np.asarray(p.inv_rho)
     geo[o_mat + 1] = np.asarray(p.lam)
     geo[o_mat + 2] = np.asarray(p.mu)
+    if stiffness is not None:
+        C = np.broadcast_to(np.asarray(stiffness), (E, n_sig, n_sig))
+        for c in range(n_sig):
+            geo[o_C + c * 8 : o_C + c * 8 + n_sig] = C[:, c, :].T
 
     dmp = None
     if damp is not None:
@@ -168,9 +184,9 @@ def build_fused_data(p: ElasticParams, damp=None) -> FusedOpData:
         E=E,
         nf=nf,
         n_fp=n_fp,
-        off=(o_ginv, o_nrm, o_scb, o_bfs, o_dfs, o_mat, total),
+        off=(o_ginv, o_nrm, o_scb, o_bfs, o_dfs, o_mat, o_C, total),
     )
-    if damp is None:
+    if damp is None and stiffness is None:
         _FUSED_CACHE[key] = (
             weakref.ref(p, lambda _, k=key: _FUSED_CACHE.pop(k, None)),
             data,
@@ -263,25 +279,26 @@ def _wide_dot_split(mat, cols, onehot=False):
     return [out[:, i * B : (i + 1) * B] for i in range(len(cols))]
 
 
-def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
-                 *refs):
-    """Fused velocity operator.
+def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
+               sig_ref, axpy_refs, geo_ref, drr_ref, lift_ref, erep_ref,
+               out_ref, trout_ref, emit_tr=None):
+    """Fused velocity operator — THE physics, shared by the standalone
+    kernel (tr from the exchange output ref) and the merged
+    exchange-in-kernel variant (ops/merged_kernels.py).
 
     du_c = (1/rho) (div(sigma)_c + LIFT((scb*tr_c + bfs*t_own_c)))
-    tr_ref holds SIGNED neighbour tractions (exchange output): already
+    get_tr(cout, t_own) returns the SIGNED neighbour traction rows:
     +n_own . sigma_nbr on interior faces, +t_own on boundary faces.
+    emit_tr(traces): override the trace-output write (merged per-face
+    layout); default writes component rows of trout_ref.
 
     axpy: additionally reads (u, uh1) and emits u' = u + dt*uh1 + c3*du
     instead of du.  Always emits the face traces of the primary output.
     """
-    if axpy:
-        (sig_ref, tr_ref, u_ref, uh1_ref, geo_ref, drr_ref, lift_ref,
-         erep_ref, out_ref, trout_ref) = refs
-    else:
-        (sig_ref, tr_ref, geo_ref, drr_ref, lift_ref, erep_ref,
-         out_ref, trout_ref) = refs
     V = voigt_map(dim)
-    o_ginv, o_nrm, o_scb, o_bfs, _, o_mat, _ = off
+    o_ginv, o_nrm, o_scb, o_bfs, _, o_mat = off[:6]
+    if axpy:
+        u_ref, uh1_ref = axpy_refs
 
     der, own = _combo(drr_ref, sig_ref, npp, dim, n_sig)
     exp = _geo_expand_all(
@@ -297,8 +314,7 @@ def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
         for d in range(dim):
             o = nrm[d] * own[V[cout, d]]
             t_own = o if t_own is None else t_own + o
-        fluxes.append(
-            scb * tr_ref[cout * ftpp : (cout + 1) * ftpp, :] + bfs * t_own)
+        fluxes.append(scb * get_tr(cout, t_own) + bfs * t_own)
     surfs = _wide_dot_split(lift_ref[:], fluxes)
 
     res = [None] * dim
@@ -319,32 +335,53 @@ def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
             res[cout] = du
         out_ref[cout * npp : (cout + 1) * npp, :] = res[cout]
     traces = _wide_dot_split(rmat, res, onehot=True)
-    for cout in range(dim):
-        trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = traces[cout]
+    if emit_tr is not None:
+        emit_tr(traces)
+    else:
+        for cout in range(dim):
+            trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = traces[cout]
 
 
-def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
-                    *refs):
-    """Fused stress operator.
+def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
+                 *refs):
+    """Standalone fused velocity kernel: traces come pre-exchanged in
+    tr_ref (see _vel2_body for the physics)."""
+    if axpy:
+        (sig_ref, tr_ref, u_ref, uh1_ref, geo_ref, drr_ref, lift_ref,
+         erep_ref, out_ref, trout_ref) = refs
+        axpy_refs = (u_ref, uh1_ref)
+    else:
+        (sig_ref, tr_ref, geo_ref, drr_ref, lift_ref, erep_ref,
+         out_ref, trout_ref) = refs
+        axpy_refs = None
+
+    def get_tr(cout, t_own):
+        return tr_ref[cout * ftpp : (cout + 1) * ftpp, :]
+
+    _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
+               sig_ref, axpy_refs, geo_ref, drr_ref, lift_ref, erep_ref,
+               out_ref, trout_ref)
+
+
+def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                  get_tr, u_ref, axpy_refs, geo_ref, drr_ref, lift_ref,
+                  erep_ref, out_ref, trout_ref, emit_tr=None):
+    """Fused stress operator — THE physics (see _vel2_body).
 
     ds = Hooke(grad u) + LIFT(Hooke_face(scb*tr_u + dfs*u_own)); emits
     TRACTION traces t_c = n_d res_{V[c,d]} of the primary output.
+    get_tr(c, u_own_c) returns the exchanged neighbour velocity trace rows
+    (+u_own on boundary faces).
 
     axpy: reads (s, sh1[, damp]) and emits s' = damp*(s + dt*sh1 + c3*ds).
     """
-    i = 0
-    u_ref, tr_ref = refs[0], refs[1]
-    i = 2
     if axpy:
-        s_ref, sh1_ref = refs[i], refs[i + 1]
-        i += 2
         if use_damp:
-            damp_ref = refs[i]
-            i += 1
-    geo_ref, drr_ref, lift_ref, erep_ref = refs[i : i + 4]
-    out_ref, trout_ref = refs[i + 4], refs[i + 5]
+            s_ref, sh1_ref, damp_ref = axpy_refs
+        else:
+            s_ref, sh1_ref = axpy_refs
     V = voigt_map(dim)
-    o_ginv, o_nrm, o_scb, _, o_dfs, o_mat, _ = off
+    o_ginv, o_nrm, o_scb, _, o_dfs, o_mat = off[:6]
 
     der, own = _combo(drr_ref, u_ref, npp, dim, dim)
     exp = _geo_expand_all(
@@ -364,31 +401,53 @@ def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
         return out
 
     gcache = {(d, c): grad(d, c) for d in range(dim) for c in range(dim)}
-    divu = sum(gcache[(d, d)] for d in range(dim))
 
-    vol = []
-    for c in range(dim):
-        vol.append(lam * divu + 2.0 * mu * gcache[(c, c)])
-    if dim == 2:
-        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
-    else:
-        vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
-        vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
-        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+    o_C = off[6] if len(off) > 6 else -1
+    if o_C >= 0:
+        # general anisotropic Hooke law: C : sym(a (x) b) with engineering
+        # Voigt strains (ops/anisotropic.py conventions)
+        from .anisotropic import _voigt_strain_pair
 
-    # velocity jump at face nodes with Fscale folded
-    du = [scb * tr_ref[c * ftpp : (c + 1) * ftpp, :] + dfs * own[c]
-          for c in range(dim)]
-    ndu = sum(nrm[d] * du[d] for d in range(dim))
-    face = []
-    for c in range(dim):
-        face.append(lam * ndu + 2.0 * mu * nrm[c] * du[c])
-    if dim == 2:
-        face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+        pairs = _voigt_strain_pair(dim)
+
+        def crow(c, k):
+            return geo_ref[o_C + c * 8 + k : o_C + c * 8 + k + 1, :]
+
+        eps = [sum(gcache[(j, i)] for (i, j) in pairs[k])
+               for k in range(n_sig)]
+        vol = [sum(crow(c, k) * eps[k] for k in range(n_sig))
+               for c in range(n_sig)]
+        du = [scb * get_tr(c, own[c]) + dfs * own[c] for c in range(dim)]
+        epsf = [sum(nrm[j] * du[i] for (i, j) in pairs[k])
+                for k in range(n_sig)]
+        face = [sum(crow(c, k) * epsf[k] for k in range(n_sig))
+                for c in range(n_sig)]
     else:
-        face.append(mu * (nrm[1] * du[2] + nrm[2] * du[1]))
-        face.append(mu * (nrm[0] * du[2] + nrm[2] * du[0]))
-        face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+        divu = sum(gcache[(d, d)] for d in range(dim))
+
+        vol = []
+        for c in range(dim):
+            vol.append(lam * divu + 2.0 * mu * gcache[(c, c)])
+        if dim == 2:
+            vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+        else:
+            vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
+            vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
+            vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+
+        # velocity jump at face nodes with Fscale folded
+        du = [scb * get_tr(c, own[c]) + dfs * own[c]
+              for c in range(dim)]
+        ndu = sum(nrm[d] * du[d] for d in range(dim))
+        face = []
+        for c in range(dim):
+            face.append(lam * ndu + 2.0 * mu * nrm[c] * du[c])
+        if dim == 2:
+            face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+        else:
+            face.append(mu * (nrm[1] * du[2] + nrm[2] * du[1]))
+            face.append(mu * (nrm[0] * du[2] + nrm[2] * du[0]))
+            face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
 
     surfs = _wide_dot_split(lift_ref[:], face)
     res = [None] * n_sig
@@ -407,12 +466,44 @@ def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
 
     # traction traces of the primary output
     tr_sig = _wide_dot_split(rmat, res, onehot=True)
+    traces = []
     for cout in range(dim):
         t = None
         for d in range(dim):
             o = nrm[d] * tr_sig[V[cout, d]]
             t = o if t is None else t + o
-        trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = t
+        traces.append(t)
+    if emit_tr is not None:
+        emit_tr(traces)
+    else:
+        for cout in range(dim):
+            trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = traces[cout]
+
+
+def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                    *refs):
+    """Standalone fused stress kernel: traces come pre-exchanged in tr_ref
+    (see _stress2_body for the physics)."""
+    i = 0
+    u_ref, tr_ref = refs[0], refs[1]
+    i = 2
+    axpy_refs = None
+    if axpy:
+        if use_damp:
+            axpy_refs = refs[i : i + 3]
+            i += 3
+        else:
+            axpy_refs = refs[i : i + 2]
+            i += 2
+    geo_ref, drr_ref, lift_ref, erep_ref = refs[i : i + 4]
+    out_ref, trout_ref = refs[i + 4], refs[i + 5]
+
+    def get_tr(c, own_c):
+        return tr_ref[c * ftpp : (c + 1) * ftpp, :]
+
+    _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                  get_tr, u_ref, axpy_refs, geo_ref, drr_ref, lift_ref,
+                  erep_ref, out_ref, trout_ref)
 
 
 def _lane_specs(block, row_counts):

@@ -1,0 +1,387 @@
+"""Exchange-IN-kernel Pallas operators — the v3 lane pipeline.
+
+Round-3 redesign attacking the last standalone HBM round-trips of the v2
+pipeline (VERDICT.md round-2 missing #3): the trace exchange.  In v2 every
+operator application was preceded by a separate Pallas exchange kernel that
+read the full producer-trace array, permuted it, and wrote a consumer-trace
+array the operator immediately re-read (measured 0.43 ms/exchange vs a
+0.12 ms compact-trace roofline, 6 exchanges/step).  v3 merges the exchange
+INTO the operator kernels:
+
+1. **Face-major trace layout.**  Producer traces are emitted as ONE
+   (nf*rtf, Lt) array in FACE-major row order (rows f*rtf + c*n_fp + k,
+   rtf = roundup(dim*n_fp, 8)) — so a consumer face's windowed read
+   row-slices ONLY the ~dim*n_fp rows that face uses.  (Measured dead
+   ends: component-major rows forced full dim*ftpp-row windows — 8 windows
+   x 120 rows dwarfed the saved round-trip, no faster than v2; nf separate
+   per-face arrays shrank the windows but the 1+nf-way aliased output
+   structure collapsed pipelining to 10.5 ms/step, 1.7x WORSE than v2.)
+2. **Windowed neighbour reads.**  Per (class, face), the consumer block j
+   reads the two lane-adjacent blocks of the neighbour class's face-f2
+   producer array directly via extra BlockSpecs (the same window/offset
+   math the v2 standalone exchange kernel used), deduplicated across faces
+   that share a (face, class, offset) window.
+3. **In-register select+permute.**  The one-hot pi row permutation,
+   traction sign flip, and boundary-mask select against the own-side trace
+   happen on VMEM values; the own-side trace is the t_own / u_own the
+   operator body computes anyway (bitwise the same contraction the
+   producer emitted), so consumer-ordered traces NEVER exist in HBM.
+4. **Per-class lane padding.**  Each class's lane range is padded to the
+   lane-block size (geo zero-padded, mask=1 so dead lanes stay exactly 0),
+   lifting the v2 ``bx | NC`` divisibility constraint (the ~5% E=384k
+   block-chooser loss) and giving the slab-sharded runner block-aligned
+   halo-plane regions (parallel/fused_sharded.py): the trace layout
+   reserves h0 = roundup(Grest, bx) halo lanes per class, so a multi-chip
+   exchange is one compact plane ppermute into those lanes.
+
+The physics is NOT re-implemented here: the kernels call the exact
+_vel2_body/_stress2_body of ops/fused_kernels.py with a get_tr callback
+that resolves traces from the windows and an emit_tr callback that writes
+the per-face layout.  Correctness oracle: the v2 FusedLaneRunner and the
+einsum twins (tests/test_merged.py).
+
+Flux/BC semantics: ops/elastic.py (rebuild of the reference's ~25-parloop
+LF4 step, SURVEY.md §4.3/§5.2 — the reference ran these as PyOP2 par_loops
+with MPI halo exchange; here exchange+operator are one fused TPU kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_kernels import (
+    FusedOpData,
+    _dot,
+    _rup,
+    _stress2_body,
+    _vel2_body,
+)
+
+
+@dataclass(frozen=True)
+class MergedPlan:
+    """Host-side static plan for the merged exchange-in-kernel operators.
+
+    Lane layout (both single-chip and per-shard): per class t,
+      state arrays: lanes [t*NCs, t*NCs + NCloc) real, rest dead (zero geo,
+        mask=1);  NCs = roundup(NCloc, bx).
+      trace array ((nf*rtf, Lt), face-major rows): lanes
+        [t*NCt + h0, t*NCt + h0 + NCloc) real;
+        [t*NCt + h0 - Grest, t*NCt + h0) left-halo plane and
+        [t*NCt + h0 + NCloc, ... + Grest) right-halo plane (sharded only;
+        h0 = roundup(Grest, bx), 0 single-chip); rest junk, only ever read
+        through boundary-masked windows.
+    """
+
+    bx: int
+    m: int
+    nf: int
+    n_fp: int
+    NCloc: int  # real supercells per class (per shard)
+    NCs: int  # state lane stride per class
+    NCt: int  # trace lane stride per class
+    h0: int  # halo offset in the trace layout (multiple of bx)
+    Grest: int  # lanes per axis-0 plane (= halo plane width)
+    rtf: int  # rows per per-face trace array = roundup(dim*n_fp, 8)
+    faces: tuple  # per class: ((kind, sm, slotA, slotB), ...) per face
+    slots: tuple  # per class: ((f2, t2, o), ...) deduped window inputs
+    P: tuple  # per class: jnp (nf*rtf, rtf) one-hot pi permutations
+
+    @property
+    def NBs(self):
+        return self.NCs // self.bx
+
+    @property
+    def NBt(self):
+        return self.NCt // self.bx
+
+    @property
+    def Ls(self):
+        return self.m * self.NCs
+
+    @property
+    def Lt(self):
+        return self.m * self.NCt
+
+
+def choose_block(NC: int, prefer=(768, 1024, 512, 1536, 384, 256)) -> int:
+    """Lane-block size for the merged kernels: per-class padding makes any
+    multiple of 128 legal, so the measured-best size (BENCH_NOTES sweeps)
+    wins whenever its dead-lane waste is small — v2's ``bx | NC``
+    divisibility chooser cost ~5% at NC=64000 (VERDICT round-2 weak #2)."""
+    for max_waste in (0.02, 0.06, 0.15):
+        for bx in prefer:
+            if _rup(NC, bx) - NC <= max_waste * NC:
+                return bx
+    return 128
+
+
+def build_merged_plan(ex, d: FusedOpData, bx: int,
+                      G0loc: int | None = None, halo: bool = False):
+    """Build the per-class window/permutation plan, or None when the mesh
+    doesn't satisfy the windowed-read constraints (periodic meshes, very
+    large class counts, ambiguous wrap shifts) — callers fall back to the
+    v2 pipeline.
+
+    G0loc: outer-axis supercells per shard (sharded layout); None = all
+    (single chip).  halo: reserve halo-plane lanes in the trace layout and
+    resolve axis-0 out-of-slab reads into them instead of requiring them to
+    be boundary-masked.
+    """
+    from ..solver.lane_fused import _canonical_shift, derive_pairing
+
+    grid = ex.grid
+    if ex.self_mask.size and not ex.self_mask.any():
+        return None  # periodic: wrap planes are not boundary-masked
+    if ex.m > 16:
+        return None
+    dim_tr = d.dim
+    nf, nfp = ex.n_faces, ex.n_fp
+    rtf = _rup(dim_tr * nfp, 8)
+    Grest = int(np.prod(grid[1:])) if len(grid) > 1 else 1
+    G0 = grid[0]
+    if G0loc is None:
+        G0loc = G0
+    NCloc = G0loc * Grest
+    NCs = _rup(NCloc, bx)
+    h0 = _rup(Grest, bx) if halo else 0
+    NCt = _rup(h0 + NCloc + (Grest if halo else 0), bx)
+
+    # flat strides on the LOCAL class grid: axis 0 stride is Grest (same as
+    # the global grid — only the axis-0 extent changes under slab sharding)
+    strides = []
+    s_ = 1
+    for g in reversed(grid[1:]):
+        strides.append(s_)
+        s_ *= g
+    strides = [s_] + list(reversed(strides))
+
+    f2, pi = derive_pairing(ex)
+    faces_all, slots_all, P_all = [], [], []
+    for t in range(ex.m):
+        slot_of = {}
+        slots = []
+        faces = []
+        P_t = np.zeros((nf, rtf, rtf), dtype=np.float32)
+        for f in range(nf):
+            t2 = int(ex.nbr_class[t, f])
+            off = _canonical_shift(ex, t, f)
+            if off is None:
+                return None
+            s = int(np.dot(off, strides))
+            g = int(f2[t, f])
+            for c in range(dim_tr):
+                P_t[f, c * nfp + np.arange(nfp), c * nfp + pi[t, f]] = 1.0
+
+            def slot(o):
+                key = (g, t2, o)
+                if key not in slot_of:
+                    slot_of[key] = len(slots)
+                    slots.append(key)
+                return slot_of[key]
+
+            oA = s // bx  # floor division
+            sm = s - oA * bx  # in [0, bx)
+            if sm == 0:
+                faces.append((1, 0, slot(oA), 0))
+            else:
+                faces.append((2, sm, slot(oA), slot(oA + 1)))
+        faces_all.append(tuple(faces))
+        slots_all.append(tuple(slots))
+        P_all.append(jnp.asarray(P_t.reshape(nf * rtf, rtf)))
+
+    return MergedPlan(
+        bx=bx, m=ex.m, nf=nf, n_fp=nfp, NCloc=NCloc, NCs=NCs, NCt=NCt,
+        h0=h0, Grest=Grest, rtf=rtf,
+        faces=tuple(faces_all), slots=tuple(slots_all), P=tuple(P_all),
+    )
+
+
+def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
+                   ftpp, dim, sign, *refs):
+    """Window + permute + mask-select, then the shared operator body.
+
+    refs: [obuf(ANY), tbuf(ANY), field, *extra, geo, mask, P,
+           *windows, drr, lift, erep, out, trout]
+    """
+    i = 2
+    field_ref = refs[i]
+    i += 1
+    extra_refs = refs[i : i + n_extra]
+    i += n_extra
+    geo_ref, mask_ref, p_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    wrefs = refs[i : i + n_slots]
+    i += n_slots
+    drr_ref, lift_ref, erep_ref = refs[i : i + 3]
+    out_ref, trout_ref = refs[-2], refs[-1]
+
+    sels = []
+    for f in range(nf):
+        kind, sm, sA, sB = faces[f]
+        if kind == 1:
+            win = wrefs[sA][:]
+        else:
+            A, B = wrefs[sA][:], wrefs[sB][:]
+            win = jnp.concatenate([A[:, sm:], B[:, :sm]], axis=1)
+        sels.append(_dot(p_ref[f * rtf : (f + 1) * rtf, :], win,
+                         onehot=True))
+    perm = []
+    for c in range(dim):
+        parts = [sels[f][c * n_fp : (c + 1) * n_fp, :] for f in range(nf)]
+        blk = jnp.concatenate(parts, axis=0)
+        if ftpp != ftp:
+            blk = jnp.pad(blk, ((0, ftpp - ftp), (0, 0)))
+        perm.append(sign * blk)
+    mask_exp = _dot(erep_ref[:], mask_ref[:], onehot=True) != 0.0
+
+    def get_tr(c, own_c):
+        return jnp.where(mask_exp, own_c, perm[c])
+
+    def emit_tr(traces):
+        # face-major rows f*rtf + c*n_fp + k; pad rows written 0 (windows'
+        # P-matmul reads every row, so junk pad rows would poison lanes)
+        B = traces[0].shape[1]
+        pad = rtf - dim * n_fp
+        blocks = []
+        for f in range(nf):
+            blocks += [traces[c][f * n_fp : (f + 1) * n_fp, :]
+                       for c in range(dim)]
+            if pad:
+                blocks.append(jnp.zeros((pad, B), traces[0].dtype))
+        trout_ref[:] = jnp.concatenate(blocks, axis=0)
+
+    body(get_tr, emit_tr, field_ref, extra_refs if n_extra else None,
+         geo_ref, drr_ref, lift_ref, erep_ref, out_ref)
+
+
+def _vel_body_adapter(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
+                      emit_tr, field_ref, extra_refs, geo_ref, drr_ref,
+                      lift_ref, erep_ref, out_ref):
+    _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
+               field_ref, extra_refs, geo_ref, drr_ref, lift_ref,
+               erep_ref, out_ref, None, emit_tr=emit_tr)
+
+
+def _stress_body_adapter(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                         get_tr, emit_tr, field_ref, extra_refs, geo_ref,
+                         drr_ref, lift_ref, erep_ref, out_ref):
+    _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
+                  get_tr, field_ref, extra_refs, geo_ref, drr_ref,
+                  lift_ref, erep_ref, out_ref, None, emit_tr=emit_tr)
+
+
+def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
+                mask, dt, c3, interpret):
+    """One per-class merged pallas_call; chains (obuf, tbuf) via aliasing.
+
+    trs: (nf*rtf, Lt) face-major producer trace array.
+    """
+    bx, NBs, NBt = plan.bx, plan.NBs, plan.NBt
+    h0b = plan.h0 // bx
+    rtf, nf = plan.rtf, plan.nf
+    sign = -1.0 if kind.startswith("vel") else 1.0
+    axpy = kind.endswith("axpy")
+    use_damp = axpy and kind.startswith("stress") and d.damp is not None
+    C_out = d.dim if kind.startswith("vel") else d.n_sig
+
+    if kind.startswith("vel"):
+        body = functools.partial(
+            _vel_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+            axpy, dt, c3)
+    else:
+        body = functools.partial(
+            _stress_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+            axpy, use_damp, dt, c3)
+
+    n_extra = len(extra)
+    kernel = functools.partial(
+        _merged_kernel, body, nf, plan.faces[t], len(plan.slots[t]),
+        n_extra, rtf, d.n_fp, d.ftp, d.ftpp, d.dim, sign)
+
+    def st_spec(rows):
+        return pl.BlockSpec((rows, bx), lambda j, t=t: (0, t * NBs + j),
+                            memory_space=pltpu.VMEM)
+
+    def tbl_spec(shape):
+        return pl.BlockSpec(shape, lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    alias = obuf is not None
+    args = [obuf if alias else field, tbuf if alias else field, field]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                st_spec(field.shape[0])]
+    for a in extra:
+        args.append(a)
+        in_specs.append(st_spec(a.shape[0]))
+    args += [d.geo, mask, plan.P[t]]
+    in_specs += [st_spec(d.geo.shape[0]), st_spec(8),
+                 tbl_spec(plan.P[t].shape)]
+    for g, t2, o in plan.slots[t]:
+        args.append(trs)
+        in_specs.append(pl.BlockSpec(
+            (rtf, bx),
+            lambda j, g=g, t2=t2, o=o: (
+                g, t2 * NBt + jnp.clip(h0b + j + o, 0, NBt - 1)),
+            memory_space=pltpu.VMEM))
+    args += [d.drr, d.lift, d.erep]
+    in_specs += [tbl_spec(d.drr.shape), tbl_spec(d.lift.shape),
+                 tbl_spec(d.erep.shape)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(NBs,),
+        out_shape=(
+            jax.ShapeDtypeStruct((C_out * d.npp, plan.Ls), field.dtype),
+            jax.ShapeDtypeStruct((nf * rtf, plan.Lt), field.dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((C_out * d.npp, bx),
+                         lambda j, t=t: (0, t * NBs + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nf * rtf, bx),
+                         lambda j, t=t: (0, t * NBt + h0b + j),
+                         memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={0: 0, 1: 1} if alias else {},
+        interpret=interpret,
+    )(*args)
+
+
+def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
+               interpret=False, axpy=None, dt=0.0, c3=0.0):
+    """Merged velocity operator: consumes the PRODUCER traction trace
+    array trs ((nf*rtf, Lt), face-major) directly (windows + in-kernel
+    exchange), state sig_lm (n_sig*npp, Ls).  Returns
+    (out (dim*npp, Ls), traces (nf*rtf, Lt))."""
+    extra = list(axpy) if axpy is not None else []
+    kind = "vel_axpy" if axpy is not None else "vel"
+    obuf = tbuf = None
+    for t in range(plan.m):
+        obuf, tbuf = _class_call(kind, plan, d, t, sig_lm, trs, obuf,
+                                 tbuf, extra, mask, dt, c3, interpret)
+    return obuf, tbuf
+
+
+def stress_merged(plan: MergedPlan, d: FusedOpData, u_lm, trs, mask,
+                  interpret=False, axpy=None, dt=0.0, c3=0.0):
+    """Merged stress operator: consumes PRODUCER velocity traces trs; axpy
+    additionally folds damp (d.damp) as in stress2_op."""
+    extra = list(axpy) if axpy is not None else []
+    if axpy is not None and d.damp is not None:
+        extra.append(d.damp)
+    kind = "stress_axpy" if axpy is not None else "stress"
+    obuf = tbuf = None
+    for t in range(plan.m):
+        obuf, tbuf = _class_call(kind, plan, d, t, u_lm, trs, obuf,
+                                 tbuf, extra, mask, dt, c3, interpret)
+    return obuf, tbuf

@@ -477,6 +477,7 @@ class FusedLaneRunner:
         block: int = DEFAULT_BLOCK,
         interpret: bool = False,
         exchange_impl: str = "auto",
+        stiffness=None,
     ):
         if order != 4:
             raise ValueError("FusedLaneRunner is LF4-only (use the v1 lane "
@@ -498,7 +499,7 @@ class FusedLaneRunner:
 
         damp_perm = (
             None if damp is None else np.asarray(damp)[old_of_new])
-        d = build_fused_data(p, damp=damp_perm)
+        d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
         E = d.E
         E_pad = _rup(E, block)
         self.E, self.E_pad = E, E_pad
@@ -673,28 +674,23 @@ class FusedLaneRunner:
         ulm, slm, trs = carry
         dt, c3 = self._dt_f, self._c3_f
         blk, itp = self.block, self.interpret
+        from .timestep import compose_lf_step_traced
 
-        uh1, tru1 = vel2_op(d, slm, self.ex_t(trs), blk, itp)
-        uh1, tru1 = self._inject(
-            aux, uh1, tru1, aux.get("src_vu"), aux.get("src_tru"),
-            t + 0.5 * dt)
-        st, trt_st = stress2_op(d, uh1, self.ex_u(tru1), blk, itp)
-        unew, tru_new = vel2_op(
-            d, st, self.ex_t(trt_st), blk, itp, axpy=(ulm, uh1),
-            dt=dt, c3=c3)
-
-        sh1, trt_sh1 = stress2_op(d, unew, self.ex_u(tru_new), blk, itp)
-        sh1, trt_sh1 = self._inject(
-            aux, sh1, trt_sh1, aux.get("src_vs"), aux.get("src_trt"),
-            t + dt)
-        ut, tru_ut = vel2_op(d, sh1, self.ex_t(trt_sh1), blk, itp)
-        snew, trt_new = stress2_op(
-            d, ut, self.ex_u(tru_ut), blk, itp, axpy=(slm, sh1),
-            dt=dt, c3=c3)
-
-        if self.damp_u is not None:
-            unew = unew * aux["damp_u"]
-        return (unew, snew, trt_new)
+        lf = compose_lf_step_traced(
+            vel=lambda s, tr: vel2_op(d, s, self.ex_t(tr), blk, itp),
+            stress=lambda u, tr: stress2_op(d, u, self.ex_u(tr), blk, itp),
+            vel_axpy=lambda s, tr, u, uh1: vel2_op(
+                d, s, self.ex_t(tr), blk, itp, axpy=(u, uh1), dt=dt, c3=c3),
+            stress_axpy=lambda u, tr, s, sh1: stress2_op(
+                d, u, self.ex_u(tr), blk, itp, axpy=(s, sh1), dt=dt, c3=c3),
+            inject_u=lambda f, tr, t_: self._inject(
+                aux, f, tr, aux.get("src_vu"), aux.get("src_tru"), t_),
+            inject_s=lambda f, tr, t_: self._inject(
+                aux, f, tr, aux.get("src_vs"), aux.get("src_trt"), t_),
+            post_u=lambda u: (
+                u if self.damp_u is None else u * aux["damp_u"]),
+        )
+        return lf(ulm, slm, trs, t, dt)
 
     def _sample(self, aux, u_lm, s_lm=None):
         d = self.d

@@ -1,0 +1,361 @@
+"""Exchange-in-kernel lane-major LF4 solver — the v3 TPU pipeline.
+
+Same physics and trace-carry design as solver/lane_fused.py (v2), but the
+standalone Pallas trace-exchange kernel is gone: the operator kernels read
+the producer trace arrays directly through lane-shifted neighbour windows
+and do the (f2, pi) permutation + sign flip + boundary select in-register
+(ops/merged_kernels.py).  Consumer-ordered traces never exist in HBM.
+
+Layout difference vs v2: per-class lane padding (state stride NCs =
+roundup(NC, block), trace stride NCt) lifts the ``block | NC`` constraint —
+any measured-best block size is legal on any mesh.  Dead lanes carry zero
+geometry and mask=1, so they stay exactly 0 through the whole run.
+
+LF4 only (like v2).  Equivalence oracle: FusedLaneRunner / LaneMajorRunner
+(tests/test_merged.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elastic import ElasticParams, voigt_map
+from ..ops.fused_kernels import FusedOpData, build_fused_data
+from ..ops.merged_kernels import (
+    build_merged_plan,
+    choose_block,
+    stress_merged,
+    vel_merged,
+)
+from ..ops.structured_exchange import StructuredExchange
+from .lane_major import class_major_perm
+from .receivers import ReceiverData
+from .source import SourceData, ricker
+from .timestep import State, compose_lf_step_traced
+
+
+class MergedLaneRunner:
+    """v3 exchange-in-kernel lane-major runner (LF4, structured meshes)."""
+
+    def __init__(
+        self,
+        p: ElasticParams,
+        ex: StructuredExchange,
+        dt: float,
+        order: int = 4,
+        src: SourceData | None = None,
+        damp: jax.Array | None = None,
+        receivers: ReceiverData | None = None,
+        record_pressure: bool = False,
+        block: int | None = None,
+        interpret: bool = False,
+        stiffness=None,
+    ):
+        if order != 4:
+            raise ValueError("MergedLaneRunner is LF4-only (use the v1 lane "
+                             "path for order=2)")
+        self.record_pressure = record_pressure
+        self.p = p
+        self.ex = ex
+        self.interpret = interpret
+        self.dtype = p.Ginv.dtype
+        self.dt = jnp.asarray(dt, self.dtype)
+        self._dt_f = float(dt)
+        self._c3_f = float(dt) ** 3 / 24.0
+
+        NC = int(np.prod(ex.grid))
+        self.NC = NC
+        bx = choose_block(NC) if block is None else block
+        self.block = bx
+
+        E = p.Ginv.shape[0]
+        old_of_new, new_of_old = class_major_perm(ex, E)
+        self._old_of_new, self._new_of_old = old_of_new, new_of_old
+
+        damp_perm = None if damp is None else np.asarray(damp)[old_of_new]
+        d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
+        self.E = E
+        plan = build_merged_plan(ex, d, bx)
+        if plan is None:
+            raise ValueError("mesh does not satisfy the merged-kernel "
+                             "constraints (see build_merged_plan)")
+        self.plan = plan
+
+        import dataclasses as _dc
+
+        self.d = d = _dc.replace(
+            d,
+            geo=jnp.asarray(
+                self._place(np.asarray(d.geo)[:, old_of_new]), self.dtype),
+            damp=None if d.damp is None else jnp.asarray(
+                self._place(np.asarray(d.damp)), self.dtype),
+        )
+
+        # per-face boundary mask as lane rows (8, Ls); dead lanes = 1 (own)
+        mk = np.ones((8, plan.Ls), dtype=np.float32)
+        for t in range(ex.m):
+            for f in range(ex.n_faces):
+                mk[f, t * plan.NCs : t * plan.NCs + NC] = (
+                    ex.self_mask[t, f].reshape(-1))
+        self.mask = jnp.asarray(mk, self.dtype)
+
+        # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
+        # its traces feed the sh1 stage)
+        if damp is not None:
+            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn[: d.n_p] = damp_perm.T
+            dn = self._place(dn)
+            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+        else:
+            self.damp_u = None
+
+        self._build_sources(src, new_of_old)
+        if receivers is not None:
+            self.rcv = ReceiverData(
+                elems=jnp.asarray(
+                    self._slane(new_of_old[np.asarray(receivers.elems)]),
+                    jnp.int32),
+                weights=receivers.weights,
+            )
+        else:
+            self.rcv = None
+
+        # face-node-expanded normals for the initial traction extraction
+        nrm = np.asarray(p.normals)[old_of_new]  # (E, nf, dim)
+        rep = np.repeat(np.arange(d.nf), d.n_fp)
+        nrm_exp = np.zeros((d.dim, d.ftpp, plan.Ls), dtype=np.float32)
+        for dd in range(d.dim):
+            nrm_exp[dd, : d.ftp] = self._place(nrm[:, rep, dd].T)
+        self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
+        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float32)
+        fn = np.array(p.fnodes).reshape(-1)
+        rmat[np.arange(d.ftp), fn] = 1.0
+        self._rmat = jnp.asarray(rmat, self.dtype)
+
+    # --- layout helpers -----------------------------------------------
+    def _place(self, arr):
+        """np (rows, E) class-major -> (rows, Ls) per-class padded."""
+        plan, NC = self.plan, self.NC
+        out = np.zeros((arr.shape[0], plan.Ls), arr.dtype)
+        for t in range(plan.m):
+            out[:, t * plan.NCs : t * plan.NCs + NC] = (
+                arr[:, t * NC : (t + 1) * NC])
+        return out
+
+    def _slane(self, e_new):
+        """class-major element index -> state lane."""
+        return (e_new // self.NC) * self.plan.NCs + e_new % self.NC
+
+    def _tlane(self, e_new):
+        """class-major element index -> trace lane."""
+        return ((e_new // self.NC) * self.plan.NCt + self.plan.h0
+                + e_new % self.NC)
+
+    # ------------------------------------------------------------------
+    def _build_sources(self, src, new_of_old):
+        d, p = self.d, self.p
+        if src is None:
+            self.src_elems = None
+            return
+        K = src.elems.shape[0]
+        V = voigt_map(d.dim)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        for c in range(d.dim):
+            vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                src.vec_u[:, :, c]).T
+        for c in range(d.n_sig):
+            vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
+                src.vec_s[:, :, c]).T
+        fnodes = np.array(p.fnodes)
+        normals = np.asarray(p.normals)  # OLD order
+        elems_old = np.asarray(src.elems)
+        vec_u = np.asarray(src.vec_u)
+        vec_s = np.asarray(src.vec_s)
+        # face-major trace patches, rows f*rtf + c*n_fp + k
+        rtf = self.plan.rtf
+        tru = np.zeros((d.nf * rtf, K), dtype=np.float32)
+        trt = np.zeros((d.nf * rtf, K), dtype=np.float32)
+        for c in range(d.dim):
+            for f in range(d.nf):
+                rows = f * rtf + c * d.n_fp + np.arange(d.n_fp)
+                tru[rows] = vec_u[:, fnodes[f], c].T
+                acc = np.zeros((K, d.n_fp))
+                for dd in range(d.dim):
+                    acc += (normals[elems_old, f, dd][:, None]
+                            * vec_s[:, fnodes[f], V[c, dd]])
+                trt[rows] = acc.T
+        e_new = new_of_old[elems_old]
+        self.src_elems = jnp.asarray(self._slane(e_new), jnp.int32)
+        self.src_elems_tr = jnp.asarray(self._tlane(e_new), jnp.int32)
+        self.src_vu = jnp.asarray(vu, self.dtype)
+        self.src_vs = jnp.asarray(vs, self.dtype)
+        self.src_tru = jnp.asarray(tru, self.dtype)
+        self.src_trt = jnp.asarray(trt, self.dtype)
+        self.src_f0, self.src_t0, self.src_amp = src.f0, src.t0, src.amp
+
+    def _aux(self):
+        aux = {"mask": self.mask}
+        if self.damp_u is not None:
+            aux["damp_u"] = self.damp_u
+        if self.src_elems is not None:
+            aux["src_vu"], aux["src_vs"] = self.src_vu, self.src_vs
+            aux["src_tru"], aux["src_trt"] = self.src_tru, self.src_trt
+        if self.rcv is not None:
+            aux["rcv_w"] = self.rcv.weights
+        return aux
+
+    # --- state conversion ---
+    def to_lm_state(self, state: State):
+        d, plan = self.d, self.plan
+        perm = jnp.asarray(self._old_of_new)
+
+        def conv(x, C):
+            xt = x[perm].transpose(2, 1, 0)  # (C, n_p, E) class-major
+            out = jnp.zeros((C * d.npp, plan.Ls), dtype=x.dtype)
+            for c in range(C):
+                for t in range(plan.m):
+                    out = jax.lax.dynamic_update_slice(
+                        out, xt[c][:, t * self.NC : (t + 1) * self.NC],
+                        (c * d.npp, t * plan.NCs))
+            return out
+
+        return conv(state.u, d.dim), conv(state.s, d.n_sig)
+
+    def from_lm_state(self, ulm, slm) -> State:
+        d, plan = self.d, self.plan
+        inv = jnp.asarray(self._new_of_old)
+
+        def conv(y, C):
+            comps = []
+            for c in range(C):
+                cls = [
+                    y[c * d.npp : c * d.npp + d.n_p,
+                      t * plan.NCs : t * plan.NCs + self.NC]
+                    for t in range(plan.m)
+                ]
+                comps.append(jnp.concatenate(cls, axis=1))
+            return jnp.stack(comps, axis=0).transpose(2, 1, 0)[inv]
+
+        return State(u=conv(ulm, d.dim), s=conv(slm, d.n_sig))
+
+    def traction_traces(self, slm):
+        """Own-face traction traces of a lane-major stress field, placed in
+        the per-face TRACE lane layout — seeds the scan carry."""
+        d, plan = self.d, self.plan
+        V = voigt_map(d.dim)
+        tr_sig = [
+            self._rmat @ slm[c * d.npp : (c + 1) * d.npp]
+            for c in range(d.n_sig)
+        ]
+        rows = []
+        for c in range(d.dim):
+            t = sum(self._nrm_exp[dd] * tr_sig[V[c, dd]]
+                    for dd in range(d.dim))
+            rows.append(t)  # (ftpp, Ls) per component
+        nfp, pad = d.n_fp, plan.rtf - d.dim * d.n_fp
+        blocks = []
+        for f in range(plan.nf):
+            blocks += [rows[c][f * nfp : (f + 1) * nfp]
+                       for c in range(d.dim)]
+            if pad:
+                blocks.append(jnp.zeros((pad, plan.Ls), rows[0].dtype))
+        blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
+        out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
+        for t in range(plan.m):
+            out = jax.lax.dynamic_update_slice(
+                out, blk[:, t * plan.NCs : t * plan.NCs + self.NC],
+                (0, t * plan.NCt + plan.h0))
+        return out
+
+    # --- step ---
+    def _inject(self, aux, field, tr, vecs, tr_vecs, t):
+        if self.src_elems is None:
+            return field, tr
+        r = (self.src_amp * ricker(t, self.src_f0, self.src_t0))[None, :]
+        r = r.astype(self.dtype)
+        field = field.at[:, self.src_elems].add(vecs * r)
+        tr = tr.at[:, self.src_elems_tr].add(tr_vecs * r)
+        return field, tr
+
+    def _fill_halo(self, tr):
+        """Single-chip: no halos (axis-0 wraps are boundary-masked)."""
+        return tr
+
+    def step_with(self, d, aux, carry, t):
+        ulm, slm, trs = carry
+        dt, c3 = self._dt_f, self._c3_f
+        itp = self.interpret
+        plan, mask = self.plan, aux["mask"]
+        fill = self._fill_halo
+
+        lf = compose_lf_step_traced(
+            vel=lambda s, tr: vel_merged(plan, d, s, fill(tr), mask, itp),
+            stress=lambda u, tr: stress_merged(
+                plan, d, u, fill(tr), mask, itp),
+            vel_axpy=lambda s, tr, u, uh1: vel_merged(
+                plan, d, s, fill(tr), mask, itp, axpy=(u, uh1),
+                dt=dt, c3=c3),
+            stress_axpy=lambda u, tr, s, sh1: stress_merged(
+                plan, d, u, fill(tr), mask, itp, axpy=(s, sh1),
+                dt=dt, c3=c3),
+            inject_u=lambda f, tr, t_: self._inject(
+                aux, f, tr, aux.get("src_vu"), aux.get("src_tru"), t_),
+            inject_s=lambda f, tr, t_: self._inject(
+                aux, f, tr, aux.get("src_vs"), aux.get("src_trt"), t_),
+            post_u=lambda u: (
+                u if self.damp_u is None else u * aux["damp_u"]),
+        )
+        return lf(ulm, slm, trs, t, self.dt)
+
+    def _sample(self, aux, u_lm, s_lm=None):
+        d = self.d
+        g = u_lm[:, self.rcv.elems]
+        g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
+        rec = jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
+        if self.record_pressure and s_lm is not None:
+            gs = s_lm[:, self.rcv.elems].reshape(d.n_sig, d.npp, -1)
+            pr = -jnp.mean(gs[: d.dim, : d.n_p], axis=0)
+            rec_p = jnp.einsum("ri,ir->r", aux["rcv_w"], pr)[:, None]
+            rec = jnp.concatenate([rec, rec_p], axis=-1)
+        return rec
+
+    def _go(self):
+        if not hasattr(self, "_go_fn"):
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def go(d, aux, ulm, slm, trs, n, k0):
+                def body(carry, k):
+                    carry = self.step_with(
+                        d, aux, carry, k.astype(self.dtype) * self.dt)
+                    ys = (
+                        self._sample(aux, carry[0], carry[1])
+                        if self.rcv is not None
+                        else None
+                    )
+                    return carry, ys
+
+                (ulm, slm, trs), seis = jax.lax.scan(
+                    body, (ulm, slm, trs), jnp.arange(n) + k0)
+                return ulm, slm, trs, seis
+
+            self._go_fn = go
+        return self._go_fn
+
+    def run(self, state0: State, n_steps: int, step0: int = 0):
+        ulm, slm = self.to_lm_state(state0)
+        trs = self.traction_traces(slm)
+        ulm, slm, _, seis = self._go()(
+            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+        return self.from_lm_state(ulm, slm), (
+            None if seis is None else np.asarray(seis))
+
+    def run_lm(self, ulm, slm, n_steps: int, step0: int = 0):
+        trs = self.traction_traces(slm)
+        ulm, slm, trs, seis = self._go()(
+            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+        return ulm, slm, seis

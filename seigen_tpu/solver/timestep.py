@@ -79,6 +79,43 @@ def compose_lf_step(vel, stress, inject_u, inject_s, post, dt, order: int):
     return step
 
 
+def compose_lf_step_traced(vel, stress, vel_axpy, stress_axpy,
+                           inject_u, inject_s, post_u):
+    """The LF4 stage sequence for TRACE-CARRYING fused operators — the same
+    math as compose_lf_step(order=4), with the axpy updates folded into the
+    final operator of each half-step and every operator emitting the face
+    traces of its output (ops/fused_kernels.py design).  All v2 runners
+    (single-chip fused/merged, sharded fused) compose their step here so the
+    physics stays in one place next to compose_lf_step.
+
+      vel(s, tr_t) -> (uh, tr_u)        tr_t: traction traces of s
+      stress(u, tr_u) -> (sh, tr_t)
+      vel_axpy(s, tr_t, u, uh1) -> (u + dt*uh1 + c3*vel(s), traces)
+      stress_axpy(u, tr_u, s, sh1) -> (damp*(s + dt*sh1 + c3*stress(u)), tr)
+      inject_u(field, tr, t) / inject_s: source injection into a stage RHS
+        AND its emitted traces (the trace arrays must stay consistent)
+      post_u(u): end-of-step velocity damping (the stress damp is folded
+        into stress_axpy; u must be damped AFTER its traces feed sh1)
+
+    The scan carry is (u, s, tr_t): the traction traces of s ride across
+    steps so the first stage never re-extracts them.
+    """
+
+    def step(u, s, tr_t, t, dt):
+        uh1, tru1 = vel(s, tr_t)
+        uh1, tru1 = inject_u(uh1, tru1, t + 0.5 * dt)
+        st, trt_st = stress(uh1, tru1)
+        unew, tru_new = vel_axpy(st, trt_st, u, uh1)
+
+        sh1, trt_sh1 = stress(unew, tru_new)
+        sh1, trt_sh1 = inject_s(sh1, trt_sh1, t + dt)
+        ut, tru_ut = vel(sh1, trt_sh1)
+        snew, trt_new = stress_axpy(ut, tru_ut, s, sh1)
+        return post_u(unew), snew, trt_new
+
+    return step
+
+
 def damp_post(damp: jax.Array | None):
     """Standard-layout (E, n_p, C) sponge-damping post hook."""
     if damp is None:

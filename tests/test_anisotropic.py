@@ -169,3 +169,70 @@ def test_bond_rotation():
     np.testing.assert_allclose(
         christoffel_speeds(Ch, 1.0, [0, 0, 1])[2],
         vp * np.sqrt(1 + 2 * eps), rtol=1e-12)
+
+
+def test_aniso_fused_merged_paths():
+    """VTI stiffness through the v2 fused and v3 merged lane pipelines ==
+    the einsum aniso path (closes VERDICT round-2 missing #2: anisotropy no
+    longer switches off the TPU-native engine)."""
+    from seigen_tpu.ops.structured_exchange import detect_structured
+    from seigen_tpu.solver.lane_fused import FusedLaneRunner
+    from seigen_tpu.solver.lane_merged import MergedLaneRunner
+
+    dm = build_discrete(box_mesh(3, 3, 3), 2)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    assert ex is not None
+    E, n_p = dm.num_elements, dm.re.n_p
+    C = np.broadcast_to(
+        vti_stiffness(2.0, 1.1, 1.3, epsilon=0.15, delta=0.05, gamma=0.1),
+        (E, 6, 6)).copy()
+    vmax = max_wavespeed(C[0], 1.3)
+    dt = cfl_dt(float(dm.h.min()), vmax, 2, 0.4)
+    rng = np.random.default_rng(3)
+    st = State(
+        u=jnp.asarray(rng.standard_normal((E, n_p, 3)), jnp.float32),
+        s=jnp.asarray(rng.standard_normal((E, n_p, 6)), jnp.float32),
+    )
+    ref, _ = run(p, st, dt, 3, order=4,
+                 stress_op=make_aniso_stress_op(jnp.asarray(C, jnp.float32)))
+    for runner in (
+        FusedLaneRunner(p, ex, dt, order=4, block=8, interpret=True,
+                        stiffness=C),
+        MergedLaneRunner(p, ex, dt, order=4, block=8, interpret=True,
+                         stiffness=C),
+    ):
+        out, _ = runner.run(st, 3)
+        np.testing.assert_allclose(
+            np.asarray(out.u), np.asarray(ref.u), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.s), np.asarray(ref.s), rtol=2e-4, atol=2e-5)
+
+
+def test_aniso_sharded_fused():
+    """VTI through the v3 sharded pipeline: partition invariance."""
+    from seigen_tpu.ops.structured_exchange import detect_structured
+    from seigen_tpu.parallel.fused_sharded import ShardedFusedRunner
+    from seigen_tpu.solver.lane_merged import MergedLaneRunner
+
+    dm = build_discrete(box_mesh(4, 3, 3), 2)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    E, n_p = dm.num_elements, dm.re.n_p
+    C = np.broadcast_to(
+        vti_stiffness(2.0, 1.1, 1.3, epsilon=0.15, delta=0.05, gamma=0.1),
+        (E, 6, 6)).copy()
+    dt = cfl_dt(float(dm.h.min()), max_wavespeed(C[0], 1.3), 2, 0.4)
+    rng = np.random.default_rng(3)
+    st = State(
+        u=jnp.asarray(rng.standard_normal((E, n_p, 3)), jnp.float32),
+        s=jnp.asarray(rng.standard_normal((E, n_p, 6)), jnp.float32),
+    )
+    ref, _ = MergedLaneRunner(p, ex, dt, order=4, block=8, interpret=True,
+                              stiffness=C).run(st, 2)
+    out, _ = ShardedFusedRunner(p, ex, dt, 2, order=4, block=8,
+                                interpret=True, stiffness=C).run(st, 2)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(ref.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(ref.s), rtol=2e-4, atol=2e-5)

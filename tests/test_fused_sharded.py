@@ -1,0 +1,104 @@
+"""ShardedFusedRunner (v3 multi-chip) partition invariance.
+
+The analog of the reference's ``mpirun -np N`` invariance oracle
+(SURVEY.md §6): the slab-sharded merged pipeline must reproduce the
+single-chip merged runner bit-for-tolerance at every shard count, with the
+full production feature set active (source field+trace injection, folded
+sponge damping, receivers via psum, halo-plane ppermute).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seigen_tpu.mesh import box_mesh, build_discrete
+from seigen_tpu.ops import Material, build_params
+from seigen_tpu.ops.structured_exchange import detect_structured
+from seigen_tpu.parallel.fused_sharded import ShardedFusedRunner
+from seigen_tpu.solver import (
+    PointSource,
+    State,
+    absorbing_bc_fn,
+    build_receivers,
+    build_sources,
+    cfl_dt,
+    line,
+    sponge_mask,
+)
+from seigen_tpu.solver.lane_merged import MergedLaneRunner
+
+MAT = Material(rho=1.0, vp=2.0, vs=1.0)
+
+
+def _case(n0=4):
+    ext = ((0.0, 1.0),) * 3
+    dm = build_discrete(
+        box_mesh(n0, 3, 3), 2,
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(2, "hi")]))
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0, radius=0.25)],
+        dtype=jnp.float32)
+    rcv = build_receivers(
+        dm, line((0.2, 0.5, 0.9), (0.8, 0.5, 0.9), 3), dtype=jnp.float32)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi"),
+                         (2, "lo")], width=0.3), jnp.float32)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    assert ex is not None
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    rng = np.random.default_rng(7)
+    st = State(
+        u=jnp.asarray(rng.standard_normal((E, n_p, 3)), jnp.float32),
+        s=jnp.asarray(rng.standard_normal((E, n_p, 6)), jnp.float32),
+    )
+    return dm, p, ex, dt, st, src, rcv, damp
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_fused_invariance(n_shards):
+    dm, p, ex, dt, st, src, rcv, damp = _case()
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True)
+    refo, seis_ref = ref.run(st, 3)
+    r = ShardedFusedRunner(p, ex, dt, n_shards, order=4, src=src, damp=damp,
+                           receivers=rcv, block=8, interpret=True)
+    out, seis = r.run(st, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(seis, seis_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_fused_8_shards_slab_width_1():
+    """8 shards on a G0=8 grid: every slab is ONE supercell plane wide, so
+    every axis-0 window read crosses a shard boundary — the halo path with
+    zero interior margin."""
+    dm, p, ex, dt, st, src, rcv, damp = _case(n0=8)
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True)
+    refo, _ = ref.run(st, 2)
+    r = ShardedFusedRunner(p, ex, dt, 8, order=4, src=src, damp=damp,
+                           receivers=rcv, block=8, interpret=True)
+    out, _ = r.run(st, 2)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_fused_resume_equivalence():
+    """step0-based resume: 2+2 steps == 4 steps.  Tolerance, not bitwise:
+    the resumed run re-seeds the carried traction traces from the stress
+    state via the XLA 'highest' path, while the in-flight carry was emitted
+    by the x3-precision kernels (~2^-21 relative)."""
+    dm, p, ex, dt, st, src, rcv, damp = _case()
+    r = ShardedFusedRunner(p, ex, dt, 2, order=4, src=src, damp=damp,
+                           interpret=True, block=8)
+    a, _ = r.run(st, 4)
+    b1, _ = r.run(st, 2)
+    b2, _ = r.run(b1, 2, step0=2)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b2.u),
+                               rtol=2e-5, atol=2e-6)
