@@ -708,7 +708,13 @@ class FusedLaneRunner:
         if not hasattr(self, "_go_fn"):
 
             @functools.partial(jax.jit, static_argnames=("n",))
-            def go(d, aux, ulm, slm, trs, n, k0):
+            def go(d, aux, ulm, slm, n, k0):
+                # trace seed INSIDE the jit: eager per-op dispatch through
+                # the TPU tunnel costs ~1 s round-trip (BENCH_NOTES), so
+                # the small ops of traction_traces must not run un-jitted
+                # once per run chunk
+                trs = self.traction_traces(slm)
+
                 def body(carry, k):
                     carry = self.step_with(
                         d, aux, carry, k.astype(self.dtype) * self.dt)
@@ -728,14 +734,12 @@ class FusedLaneRunner:
 
     def run(self, state0: State, n_steps: int, step0: int = 0):
         ulm, slm = self.to_lm_state(state0)
-        trs = self.traction_traces(slm)
         ulm, slm, _, seis = self._go()(
-            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+            self.d, self._aux(), ulm, slm, n_steps, jnp.asarray(step0))
         return self.from_lm_state(ulm, slm), (
             None if seis is None else np.asarray(seis))
 
     def run_lm(self, ulm, slm, n_steps: int, step0: int = 0):
-        trs = self.traction_traces(slm)
         ulm, slm, trs, seis = self._go()(
-            self.d, self._aux(), ulm, slm, trs, n_steps, jnp.asarray(step0))
+            self.d, self._aux(), ulm, slm, n_steps, jnp.asarray(step0))
         return ulm, slm, seis
