@@ -373,22 +373,48 @@ def main():
         visco = None
         if args.scheme == "upwind-rk4":
             from seigen_tpu.ops.upwind import build_upwind_data
-            from seigen_tpu.solver.rk4 import make_rk4_step
 
             wdata = build_upwind_data(dm, mat, dtype=dtype)
             if args.qp is not None or args.qs is not None:
                 from seigen_tpu.ops.viscoelastic import build_visco
-                from seigen_tpu.solver.rk4 import make_rk4_step_visco
 
                 visco = build_visco(
                     p, args.qp or np.inf, args.qs or np.inf,
                     0.25 * f0, 2.5 * f0)
-                step_fn = make_rk4_step_visco(p, wdata, visco, dt,
-                                              src=src, damp=damp)
                 print(f"viscoelastic: Qp={args.qp} Qs={args.qs} "
                       f"band=[{0.25*f0:.2f},{2.5*f0:.2f}] Hz")
-            else:
-                step_fn = make_rk4_step(p, wdata, dt, src=src, damp=damp)
+            # lane-major fast path: merged exchange-in-kernel Godunov RHS
+            # (solver/lane_upwind.py); einsum oracle otherwise
+            if impl != "einsum":
+                from seigen_tpu.ops.structured_exchange import (
+                    detect_structured)
+
+                exch_uw = detect_structured(dm)
+                if exch_uw is not None:
+                    try:
+                        from seigen_tpu.solver.lane_upwind import (
+                            UpwindLaneRunner)
+
+                        runner = UpwindLaneRunner(
+                            p, exch_uw, wdata, dt, src=src, damp=damp,
+                            receivers=rcv, interpret=not on_tpu,
+                            visco=visco)
+                        print("impl: upwind_lane (merged "
+                              "exchange-in-kernel RK4)")
+                    except ValueError:
+                        runner = None
+            if runner is None:
+                from seigen_tpu.solver.rk4 import make_rk4_step
+
+                if visco is not None:
+                    from seigen_tpu.solver.rk4 import make_rk4_step_visco
+
+                    step_fn = make_rk4_step_visco(p, wdata, visco, dt,
+                                                  src=src, damp=damp)
+                else:
+                    step_fn = make_rk4_step(p, wdata, dt, src=src,
+                                            damp=damp)
+                print("impl: einsum (upwind oracle)")
         elif args.qp is not None or args.qs is not None:
             raise SystemExit("--qp/--qs need --scheme upwind-rk4")
         elif runner is not None:
@@ -411,7 +437,13 @@ def main():
 
         import functools
 
-        if runner is not None:
+        if runner is not None and visco is not None:
+            # upwind lane runner with memory variables: xi rides the
+            # checkpoint chunks in standard layout (run_xi round-trips)
+            def advance(st, xi, n0, k):
+                fin, xi2, ys = runner.run_xi(st, xi, k, step0=int(n0))
+                return fin, xi2, ys
+        elif runner is not None:
             def advance(st, xi, n0, k):
                 fin, ys = runner.run(st, k, step0=int(n0))
                 return fin, None, ys

@@ -281,7 +281,7 @@ def _wide_dot_split(mat, cols, onehot=False):
 
 def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                sig_ref, axpy_refs, geo_ref, drr_ref, lift_ref, erep_ref,
-               out_ref, trout_ref, emit_tr=None):
+               out_ref, trout_ref, emit_tr=None, inj=None):
     """Fused velocity operator — THE physics, shared by the standalone
     kernel (tr from the exchange output ref) and the merged
     exchange-in-kernel variant (ops/merged_kernels.py).
@@ -333,6 +333,14 @@ def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                          + c3 * du)
         else:
             res[cout] = du
+        if inj is not None:
+            # kernel-fused point-source injection: du += r_g(t) * S_g for
+            # each wavelet group; the emitted traces below then include
+            # the source contribution for free (trace is linear)
+            for s_ref, r_ref in inj:
+                res[cout] = res[cout] + (
+                    r_ref[0, 0]
+                    * s_ref[cout * npp : (cout + 1) * npp, :])
         out_ref[cout * npp : (cout + 1) * npp, :] = res[cout]
     traces = _wide_dot_split(rmat, res, onehot=True)
     if emit_tr is not None:
@@ -365,7 +373,7 @@ def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
 
 def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                   get_tr, u_ref, axpy_refs, geo_ref, drr_ref, lift_ref,
-                  erep_ref, out_ref, trout_ref, emit_tr=None):
+                  erep_ref, out_ref, trout_ref, emit_tr=None, inj=None):
     """Fused stress operator — THE physics (see _vel2_body).
 
     ds = Hooke(grad u) + LIFT(Hooke_face(scb*tr_u + dfs*u_own)); emits
@@ -461,6 +469,9 @@ def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                 r_ = damp_ref[:] * r_
         else:
             r_ = ds
+        if inj is not None:
+            for s_ref, r_ref in inj:
+                r_ = r_ + r_ref[0, 0] * s_ref[c * npp : (c + 1) * npp, :]
         res[c] = r_
         out_ref[c * npp : (c + 1) * npp, :] = r_
 

@@ -89,7 +89,8 @@ class MergedPlan:
     NCt: int  # trace lane stride per class
     h0: int  # halo offset in the trace layout (multiple of bx)
     Grest: int  # lanes per axis-0 plane (= halo plane width)
-    rtf: int  # rows per per-face trace array = roundup(dim*n_fp, 8)
+    pay: int  # payload components per face (LF: dim; upwind: 2*dim)
+    rtf: int  # rows per per-face trace array = roundup(pay*n_fp, 8)
     faces: tuple  # per class: ((kind, sm, slotA, slotB), ...) per face
     slots: tuple  # per class: ((f2, t2, o), ...) deduped window inputs
     P: tuple  # per class: jnp (nf*rtf, rtf) one-hot pi permutations
@@ -124,7 +125,8 @@ def choose_block(NC: int, prefer=(768, 1024, 512, 1536, 384, 256)) -> int:
 
 
 def build_merged_plan(ex, d: FusedOpData, bx: int,
-                      G0loc: int | None = None, halo: bool = False):
+                      G0loc: int | None = None, halo: bool = False,
+                      pay: int | None = None):
     """Build the per-class window/permutation plan, or None when the mesh
     doesn't satisfy the windowed-read constraints (periodic meshes, very
     large class counts, ambiguous wrap shifts) — callers fall back to the
@@ -133,7 +135,9 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
     G0loc: outer-axis supercells per shard (sharded layout); None = all
     (single chip).  halo: reserve halo-plane lanes in the trace layout and
     resolve axis-0 out-of-slab reads into them instead of requiring them to
-    be boundary-masked.
+    be boundary-masked.  pay: trace payload components per face (default
+    d.dim — the LF pipelines; the upwind Riemann kernel carries 2*dim:
+    velocity AND traction rows).
     """
     from ..solver.lane_fused import _canonical_shift, derive_pairing
 
@@ -142,7 +146,7 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
         return None  # periodic: wrap planes are not boundary-masked
     if ex.m > 16:
         return None
-    dim_tr = d.dim
+    dim_tr = d.dim if pay is None else pay
     nf, nfp = ex.n_faces, ex.n_fp
     rtf = _rup(dim_tr * nfp, 8)
     Grest = int(np.prod(grid[1:])) if len(grid) > 1 else 1
@@ -199,19 +203,22 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
 
     return MergedPlan(
         bx=bx, m=ex.m, nf=nf, n_fp=nfp, NCloc=NCloc, NCs=NCs, NCt=NCt,
-        h0=h0, Grest=Grest, rtf=rtf,
+        h0=h0, Grest=Grest, pay=dim_tr, rtf=rtf,
         faces=tuple(faces_all), slots=tuple(slots_all), P=tuple(P_all),
     )
 
 
 def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
-                   ftpp, dim, sign, *refs):
+                   ftpp, pay, signs, n_out, *refs):
     """Window + permute + mask-select, then the shared operator body.
 
-    refs: [obuf(ANY), tbuf(ANY), field, *extra, geo, mask, P,
-           *windows, drr, lift, erep, out, trout]
+    refs: [*obufs (n_out field bufs + trace buf, ANY), field, *extra, geo,
+           mask, P, *windows, drr, lift, erep, *outs (n_out), trout]
+
+    pay: payload components per face; signs: per-component consumer sign
+    (traction rows flip, velocity rows don't).
     """
-    i = 2
+    i = n_out + 1
     field_ref = refs[i]
     i += 1
     extra_refs = refs[i : i + n_extra]
@@ -221,7 +228,8 @@ def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
     wrefs = refs[i : i + n_slots]
     i += n_slots
     drr_ref, lift_ref, erep_ref = refs[i : i + 3]
-    out_ref, trout_ref = refs[-2], refs[-1]
+    out_refs = refs[-1 - n_out : -1]
+    trout_ref = refs[-1]
 
     sels = []
     for f in range(nf):
@@ -234,12 +242,12 @@ def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
         sels.append(_dot(p_ref[f * rtf : (f + 1) * rtf, :], win,
                          onehot=True))
     perm = []
-    for c in range(dim):
+    for c in range(pay):
         parts = [sels[f][c * n_fp : (c + 1) * n_fp, :] for f in range(nf)]
         blk = jnp.concatenate(parts, axis=0)
         if ftpp != ftp:
             blk = jnp.pad(blk, ((0, ftpp - ftp), (0, 0)))
-        perm.append(sign * blk)
+        perm.append(signs[c] * blk)
     mask_exp = _dot(erep_ref[:], mask_ref[:], onehot=True) != 0.0
 
     def get_tr(c, own_c):
@@ -249,62 +257,68 @@ def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
         # face-major rows f*rtf + c*n_fp + k; pad rows written 0 (windows'
         # P-matmul reads every row, so junk pad rows would poison lanes)
         B = traces[0].shape[1]
-        pad = rtf - dim * n_fp
+        pad = rtf - pay * n_fp
         blocks = []
         for f in range(nf):
             blocks += [traces[c][f * n_fp : (f + 1) * n_fp, :]
-                       for c in range(dim)]
+                       for c in range(pay)]
             if pad:
                 blocks.append(jnp.zeros((pad, B), traces[0].dtype))
         trout_ref[:] = jnp.concatenate(blocks, axis=0)
 
     body(get_tr, emit_tr, field_ref, extra_refs if n_extra else None,
-         geo_ref, drr_ref, lift_ref, erep_ref, out_ref)
+         geo_ref, drr_ref, lift_ref, erep_ref,
+         out_refs[0] if n_out == 1 else out_refs)
 
 
-def _vel_body_adapter(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
-                      emit_tr, field_ref, extra_refs, geo_ref, drr_ref,
-                      lift_ref, erep_ref, out_ref):
+def _split_inj(extra_refs, n_inj):
+    """Pop the kernel-inject (S, r) ref pairs off the extras tail."""
+    if not n_inj:
+        return extra_refs, None
+    tail = extra_refs[len(extra_refs) - 2 * n_inj :]
+    inj = [(tail[2 * i], tail[2 * i + 1]) for i in range(n_inj)]
+    rest = extra_refs[: len(extra_refs) - 2 * n_inj]
+    return rest, inj
+
+
+def _vel_body_adapter(dim, n_sig, npp, ftpp, off, axpy, dt, c3, n_inj,
+                      get_tr, emit_tr, field_ref, extra_refs, geo_ref,
+                      drr_ref, lift_ref, erep_ref, out_ref):
+    extra_refs, inj = _split_inj(extra_refs or (), n_inj)
     _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                field_ref, extra_refs, geo_ref, drr_ref, lift_ref,
-               erep_ref, out_ref, None, emit_tr=emit_tr)
+               erep_ref, out_ref, None, emit_tr=emit_tr, inj=inj)
 
 
 def _stress_body_adapter(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
-                         get_tr, emit_tr, field_ref, extra_refs, geo_ref,
-                         drr_ref, lift_ref, erep_ref, out_ref):
+                         n_inj, get_tr, emit_tr, field_ref, extra_refs,
+                         geo_ref, drr_ref, lift_ref, erep_ref, out_ref):
+    extra_refs, inj = _split_inj(extra_refs or (), n_inj)
     _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                   get_tr, field_ref, extra_refs, geo_ref, drr_ref,
-                  lift_ref, erep_ref, out_ref, None, emit_tr=emit_tr)
+                  lift_ref, erep_ref, out_ref, None, emit_tr=emit_tr,
+                  inj=inj)
 
 
-def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
-                mask, dt, c3, interpret):
-    """One per-class merged pallas_call; chains (obuf, tbuf) via aliasing.
+def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
+                      interpret, body, C_outs, signs):
+    """One per-class merged pallas_call; chains output buffers via
+    aliasing (bufs: None or tuple of len(C_outs)+1 arrays — the field
+    outputs + the trace output of the previous class's call).
 
-    trs: (nf*rtf, Lt) face-major producer trace array.
+    trs: (nf*rtf, Lt) face-major producer trace array.  C_outs: component
+    counts of the field outputs.  signs: per-payload-component consumer
+    sign (len plan.pay).
     """
     bx, NBs, NBt = plan.bx, plan.NBs, plan.NBt
     h0b = plan.h0 // bx
     rtf, nf = plan.rtf, plan.nf
-    sign = -1.0 if kind.startswith("vel") else 1.0
-    axpy = kind.endswith("axpy")
-    use_damp = axpy and kind.startswith("stress") and d.damp is not None
-    C_out = d.dim if kind.startswith("vel") else d.n_sig
-
-    if kind.startswith("vel"):
-        body = functools.partial(
-            _vel_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
-            axpy, dt, c3)
-    else:
-        body = functools.partial(
-            _stress_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
-            axpy, use_damp, dt, c3)
+    n_out = len(C_outs)
 
     n_extra = len(extra)
     kernel = functools.partial(
         _merged_kernel, body, nf, plan.faces[t], len(plan.slots[t]),
-        n_extra, rtf, d.n_fp, d.ftp, d.ftpp, d.dim, sign)
+        n_extra, rtf, d.n_fp, d.ftp, d.ftpp, plan.pay, signs, n_out)
 
     def st_spec(rows):
         return pl.BlockSpec((rows, bx), lambda j, t=t: (0, t * NBs + j),
@@ -314,11 +328,11 @@ def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
         return pl.BlockSpec(shape, lambda j: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    alias = obuf is not None
-    args = [obuf if alias else field, tbuf if alias else field, field]
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                st_spec(field.shape[0])]
+    alias = bufs is not None
+    args = list(bufs) if alias else [field] * (n_out + 1)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (n_out + 1)
+    args.append(field)
+    in_specs.append(st_spec(field.shape[0]))
     for a in extra:
         args.append(a)
         in_specs.append(st_spec(a.shape[0]))
@@ -339,49 +353,94 @@ def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
     return pl.pallas_call(
         kernel,
         grid=(NBs,),
-        out_shape=(
-            jax.ShapeDtypeStruct((C_out * d.npp, plan.Ls), field.dtype),
-            jax.ShapeDtypeStruct((nf * rtf, plan.Lt), field.dtype),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((C * d.npp, plan.Ls), field.dtype)
+            for C in C_outs
+        ) + (jax.ShapeDtypeStruct((nf * rtf, plan.Lt), field.dtype),),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((C_out * d.npp, bx),
+        out_specs=tuple(
+            pl.BlockSpec((C * d.npp, bx),
                          lambda j, t=t: (0, t * NBs + j),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for C in C_outs
+        ) + (
             pl.BlockSpec((nf * rtf, bx),
                          lambda j, t=t: (0, t * NBt + h0b + j),
                          memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={0: 0, 1: 1} if alias else {},
+        input_output_aliases=(
+            {i: i for i in range(n_out + 1)} if alias else {}),
         interpret=interpret,
     )(*args)
 
 
+def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
+                mask, dt, c3, interpret, n_inj=0):
+    """LF operator per-class call (see _class_call_multi)."""
+    sign = -1.0 if kind.startswith("vel") else 1.0
+    axpy = kind.endswith("axpy")
+    use_damp = axpy and kind.startswith("stress") and d.damp is not None
+    C_out = d.dim if kind.startswith("vel") else d.n_sig
+
+    if kind.startswith("vel"):
+        body = functools.partial(
+            _vel_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+            axpy, dt, c3, n_inj)
+    else:
+        body = functools.partial(
+            _stress_body_adapter, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
+            axpy, use_damp, dt, c3, n_inj)
+
+    bufs = None if obuf is None else (obuf, tbuf)
+    return _class_call_multi(
+        plan, d, t, field, trs, bufs, extra, mask, interpret, body,
+        (C_out,), (sign,) * plan.pay)
+
+
 def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
-               interpret=False, axpy=None, dt=0.0, c3=0.0):
+               interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None):
     """Merged velocity operator: consumes the PRODUCER traction trace
     array trs ((nf*rtf, Lt), face-major) directly (windows + in-kernel
     exchange), state sig_lm (n_sig*npp, Ls).  Returns
-    (out (dim*npp, Ls), traces (nf*rtf, Lt))."""
+    (out (dim*npp, Ls), traces (nf*rtf, Lt)).
+
+    inject: None or [(S_g (dim*npp, Ls), r_g (8, Ls)), ...] — kernel-fused
+    point-source groups: out += r_g[0]*S_g, with the emitted traces
+    including the source (plain ops only)."""
+    assert not (axpy is not None and inject), "inject is plain-op only"
     extra = list(axpy) if axpy is not None else []
+    n_inj = 0
+    if inject:
+        for s_g, r_g in inject:
+            extra += [s_g, r_g]
+        n_inj = len(inject)
     kind = "vel_axpy" if axpy is not None else "vel"
     obuf = tbuf = None
     for t in range(plan.m):
         obuf, tbuf = _class_call(kind, plan, d, t, sig_lm, trs, obuf,
-                                 tbuf, extra, mask, dt, c3, interpret)
+                                 tbuf, extra, mask, dt, c3, interpret,
+                                 n_inj=n_inj)
     return obuf, tbuf
 
 
 def stress_merged(plan: MergedPlan, d: FusedOpData, u_lm, trs, mask,
-                  interpret=False, axpy=None, dt=0.0, c3=0.0):
+                  interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None):
     """Merged stress operator: consumes PRODUCER velocity traces trs; axpy
-    additionally folds damp (d.damp) as in stress2_op."""
+    additionally folds damp (d.damp) as in stress2_op.  inject: see
+    vel_merged (S_g has n_sig*npp rows here)."""
+    assert not (axpy is not None and inject), "inject is plain-op only"
     extra = list(axpy) if axpy is not None else []
     if axpy is not None and d.damp is not None:
         extra.append(d.damp)
+    n_inj = 0
+    if inject:
+        for s_g, r_g in inject:
+            extra += [s_g, r_g]
+        n_inj = len(inject)
     kind = "stress_axpy" if axpy is not None else "stress"
     obuf = tbuf = None
     for t in range(plan.m):
         obuf, tbuf = _class_call(kind, plan, d, t, u_lm, trs, obuf,
-                                 tbuf, extra, mask, dt, c3, interpret)
+                                 tbuf, extra, mask, dt, c3, interpret,
+                                 n_inj=n_inj)
     return obuf, tbuf

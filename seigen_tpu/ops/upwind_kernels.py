@@ -1,0 +1,250 @@
+"""Merged Pallas kernel for the coupled upwind (Godunov) operator.
+
+Round-3 closure of the "fast-path coverage" gap (VERDICT.md round-2
+missing #2): the dissipative upwind/RK4 scheme — and with it viscoelastic
+Q — previously ran only on the einsum oracle path (solver/rk4.py gathers
+full field traces; ~29x the fused LF4 rate).  This module gives the
+Riemann-flux operator the same exchange-in-kernel treatment as the LF4
+pipeline (ops/merged_kernels.py):
+
+- **Widened trace payload.**  The Godunov flux consumes BOTH sides'
+  velocity AND traction at each face node, so the face-major trace layout
+  carries pay = 2*dim components per face: rows f*rtf + c*n_fp are the
+  velocity traces, rows f*rtf + (dim+c)*n_fp the tractions (rtf =
+  roundup(2*dim*n_fp, 8)).  Consumer signs: +1 for velocity, -1 for
+  traction (conforming faces have opposite normals).
+- **One coupled kernel.**  du and ds come out of a single pallas_call per
+  class (du needs div(sigma) + LIFT(t*-t-), ds needs grad(u) +
+  Hooke(LIFT(u*-u-)); both Riemann states share the N/T projections), so
+  u and sigma are each read once per RHS application.
+- **Boundary ghosts in-register.**  The mask-select resolves boundary
+  faces to the own-side trace (ops/merged_kernels.py), then the ghost
+  coefficients gu/gt (free: t+ = -t-; rigid: u+ = -u-; absorbing: zero
+  exterior state) multiply the selected trace — exactly the ghost-state
+  construction of the einsum oracle (ops/upwind.py:73-78).
+
+RK4 pairing: the operator is linear in the state, so stage-input traces
+are the same linear combinations as the stage-input fields — the runner
+(solver/lane_upwind.py) carries (u, s, traces) and never re-extracts
+faces from full fields.  Correctness oracle: solver/rk4.py + ops/upwind
+(tests/test_upwind_lane.py).
+
+Flux/BC semantics: ops/upwind.py (the reference implements only the
+central flux, SURVEY.md §4.3 — upwind/RK4 is a beyond-parity scheme kept
+equivalence-locked to its own einsum oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .elastic import voigt_map
+from .fused_kernels import (
+    FusedOpData,
+    _combo,
+    _geo_expand_all,
+    _wide_dot_split,
+)
+from .merged_kernels import MergedPlan, _class_call_multi
+from .upwind import UpwindData
+
+# uw_geo row sections (8-aligned): per-face neighbour impedances, ghost
+# coefficients, then own-element impedances in rows 0-1 of the last section
+UW_OFF = (0, 8, 16, 24, 32)  # zp_nbr, zs_nbr, ghost_u, ghost_t, own
+UW_ROWS = 40
+
+
+def build_upwind_rows(w: UpwindData) -> np.ndarray:
+    """(UW_ROWS, E) lane-major geo rows from UpwindData (OLD element
+    order; runners permute/place into their lane layouts)."""
+    E, nf = w.zp_nbr.shape[0], w.zp_nbr.shape[1]
+    o_zpn, o_zsn, o_gu, o_gt, o_own = UW_OFF
+    rows = np.zeros((UW_ROWS, E), dtype=np.float32)
+    rows[o_zpn : o_zpn + nf] = np.asarray(w.zp_nbr[:, :, 0]).T
+    rows[o_zsn : o_zsn + nf] = np.asarray(w.zs_nbr[:, :, 0]).T
+    rows[o_gu : o_gu + nf] = np.asarray(w.ghost_u[:, :, 0]).T
+    rows[o_gt : o_gt + nf] = np.asarray(w.ghost_t[:, :, 0]).T
+    rows[o_own] = np.asarray(w.zp_own[:, 0, 0])
+    rows[o_own + 1] = np.asarray(w.zs_own[:, 0, 0])
+    return rows
+
+
+def _upwind_body(dim, n_sig, npp, ftpp, off, n_inj, get_tr, emit_tr,
+                 u_ref, extra_refs, geo_ref, drr_ref, lift_ref, erep_ref,
+                 outs):
+    """Coupled Godunov RHS (see ops/upwind.py for the formulas).
+
+    extra_refs: [s, uwg, *(Su_g, Ss_g, r_g) x n_inj] — the kernel-fused
+    dense source groups inject du += r_g*Su_g, ds += r_g*Ss_g BEFORE the
+    output traces are emitted (solver/lane_merged.py design)."""
+    s_ref, uwg_ref = extra_refs[0], extra_refs[1]
+    inj = [(extra_refs[2 + 3 * g], extra_refs[3 + 3 * g],
+            extra_refs[4 + 3 * g]) for g in range(n_inj)]
+    du_ref, ds_ref = outs
+    V = voigt_map(dim)
+    o_ginv, o_nrm, o_scb, _, _, o_mat = off[:6]
+    o_zpn, o_zsn, o_gu, o_gt, o_own = UW_OFF
+
+    der_u, own_u = _combo(drr_ref, u_ref, npp, dim, dim)
+    der_s, own_s = _combo(drr_ref, s_ref, npp, dim, n_sig)
+
+    exp = _geo_expand_all(
+        erep_ref[:], geo_ref,
+        [o_nrm + 8 * d for d in range(dim)] + [o_scb])
+    nrm, fs2 = exp[:dim], exp[dim]
+    fsc = 2.0 * fs2  # scb = 0.5*Fscale
+    zp_p, zs_p, gu, gt = _geo_expand_all(
+        erep_ref[:], uwg_ref, [o_zpn, o_zsn, o_gu, o_gt])
+    zp_m = uwg_ref[o_own : o_own + 1, :]
+    zs_m = uwg_ref[o_own + 1 : o_own + 2, :]
+    irho = geo_ref[o_mat : o_mat + 1, :]
+    lam = geo_ref[o_mat + 1 : o_mat + 2, :]
+    mu = geo_ref[o_mat + 2 : o_mat + 3, :]
+    rmat = drr_ref[dim * npp :, :]
+
+    # own tractions t- = n . sigma- at face nodes
+    t_own = []
+    for c in range(dim):
+        t = None
+        for dd in range(dim):
+            o = nrm[dd] * own_s[V[c, dd]]
+            t = o if t is None else t + o
+        t_own.append(t)
+
+    # exchanged, ghosted plus-side states (get_tr: own on boundary faces)
+    u_p = [gu * get_tr(c, own_u[c]) for c in range(dim)]
+    t_p = [gt * get_tr(dim + c, t_own[c]) for c in range(dim)]
+
+    def nsum(vec):
+        out = None
+        for dd in range(dim):
+            o = nrm[dd] * vec[dd]
+            out = o if out is None else out + o
+        return out
+
+    uN_m, uN_p = nsum(own_u), nsum(u_p)
+    tN_m, tN_p = nsum(t_own), nsum(t_p)
+
+    zp_sum = zp_m + zp_p
+    zs_sum = zs_m + zs_p
+    zs_safe = jnp.where(zs_sum > 0, zs_sum, jnp.ones_like(zs_sum))
+    has_shear = zs_sum > 0
+
+    tstar_N = (zp_p * tN_m + zp_m * tN_p
+               + zp_m * zp_p * (uN_p - uN_m)) / zp_sum
+    ustar_N = (zp_m * uN_m + zp_p * uN_p + (tN_p - tN_m)) / zp_sum
+
+    t_star, u_star = [], []
+    for c in range(dim):
+        tT_m = t_own[c] - tN_m * nrm[c]
+        tT_p = t_p[c] - tN_p * nrm[c]
+        uT_m = own_u[c] - uN_m * nrm[c]
+        uT_p = u_p[c] - uN_p * nrm[c]
+        tT = jnp.where(
+            has_shear,
+            (zs_p * tT_m + zs_m * tT_p
+             + zs_m * zs_p * (uT_p - uT_m)) / zs_safe,
+            0.5 * (tT_m + tT_p))
+        uT = jnp.where(
+            has_shear,
+            (zs_m * uT_m + zs_p * uT_p + (tT_p - tT_m)) / zs_safe,
+            0.5 * (uT_m + uT_p))
+        t_star.append(tstar_N * nrm[c] + tT)
+        u_star.append(ustar_N * nrm[c] + uT)
+
+    # velocity equation: du = (1/rho)(div sigma + LIFT(Fscale (t*-t-)))
+    dtf = [fsc * (t_star[c] - t_own[c]) for c in range(dim)]
+    surf_u = _wide_dot_split(lift_ref[:], dtf)
+    du = []
+    for c in range(dim):
+        div = None
+        for dd in range(dim):
+            for r in range(dim):
+                g = geo_ref[
+                    o_ginv + r * dim + dd : o_ginv + r * dim + dd + 1, :]
+                term = g * der_s[r][V[c, dd]]
+                div = term if div is None else div + term
+        res = irho * (div + surf_u[c])
+        for su_ref, _, r_ref in inj:
+            res = res + r_ref[0, 0] * su_ref[c * npp : (c + 1) * npp, :]
+        du.append(res)
+        du_ref[c * npp : (c + 1) * npp, :] = res
+
+    # stress equation: ds = Hooke(grad u) + LIFT(Fscale Hooke_f(u*-u-))
+    def grad(dd, c):
+        out = None
+        for r in range(dim):
+            g = geo_ref[
+                o_ginv + r * dim + dd : o_ginv + r * dim + dd + 1, :]
+            term = g * der_u[r][c]
+            out = term if out is None else out + term
+        return out
+
+    gcache = {(dd, c): grad(dd, c)
+              for dd in range(dim) for c in range(dim)}
+    divu = sum(gcache[(dd, dd)] for dd in range(dim))
+    vol = [lam * divu + 2.0 * mu * gcache[(c, c)] for c in range(dim)]
+    if dim == 2:
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+    else:
+        vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
+        vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+
+    duf = [u_star[c] - own_u[c] for c in range(dim)]
+    nduf = nsum(duf)
+    face = [lam * nduf + 2.0 * mu * nrm[c] * duf[c] for c in range(dim)]
+    if dim == 2:
+        face.append(mu * (nrm[0] * duf[1] + nrm[1] * duf[0]))
+    else:
+        face.append(mu * (nrm[1] * duf[2] + nrm[2] * duf[1]))
+        face.append(mu * (nrm[0] * duf[2] + nrm[2] * duf[0]))
+        face.append(mu * (nrm[0] * duf[1] + nrm[1] * duf[0]))
+    face = [fsc * f for f in face]
+    surf_s = _wide_dot_split(lift_ref[:], face)
+    ds = []
+    for c in range(n_sig):
+        res = vol[c] + surf_s[c]
+        for _, ss_ref, r_ref in inj:
+            res = res + r_ref[0, 0] * ss_ref[c * npp : (c + 1) * npp, :]
+        ds.append(res)
+        ds_ref[c * npp : (c + 1) * npp, :] = res
+
+    # emitted traces of the OUTPUT: velocity rows of du, traction rows of
+    # ds (with OWN normals — the consumer flips the sign)
+    tr_u = _wide_dot_split(rmat, du, onehot=True)
+    tr_s = _wide_dot_split(rmat, ds, onehot=True)
+    traces = list(tr_u)
+    for c in range(dim):
+        t = None
+        for dd in range(dim):
+            o = nrm[dd] * tr_s[V[c, dd]]
+            t = o if t is None else t + o
+        traces.append(t)
+    emit_tr(traces)
+
+
+def upwind_rhs_merged(plan: MergedPlan, d: FusedOpData, uwg, ulm, slm,
+                      trs, mask, interpret=False, inject=None):
+    """Coupled Godunov RHS on lane-major state with in-kernel exchange.
+
+    ulm (dim*npp, Ls), slm (n_sig*npp, Ls), uwg (UW_ROWS, Ls) impedance/
+    ghost rows, trs (nf*rtf, Lt) face-major (u, t) payload traces of the
+    INPUT state.  inject: None or [(Su, Ss, r (8, Ls)), ...] kernel-fused
+    dense source groups.  Returns (du, ds, traces-of-(du, ds))."""
+    signs = (1.0,) * d.dim + (-1.0,) * d.dim
+    inject = inject or []
+    body = functools.partial(
+        _upwind_body, d.dim, d.n_sig, d.npp, d.ftpp, d.off, len(inject))
+    extra = [slm, uwg]
+    for su, ss, r in inject:
+        extra += [su, ss, r]
+    bufs = None
+    for t in range(plan.m):
+        bufs = _class_call_multi(
+            plan, d, t, ulm, trs, bufs, extra, mask, interpret,
+            body, (d.dim, d.n_sig), signs)
+    return bufs

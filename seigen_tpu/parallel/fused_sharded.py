@@ -274,6 +274,32 @@ class ShardedFusedRunner:
             t0[p_, j] = np.asarray(src.t0)[kk]
             amp[p_, j] = np.asarray(src.amp)[kk]
             fill[p_] += 1
+
+        # dense per-wavelet-group patterns for kernel-fused injection
+        # (see solver/lane_merged.py _build_sources): S arrays are global
+        # lane-major, sharded along lanes like the state
+        self.src_dense = None
+        self._src_groups = []
+        f0a = np.broadcast_to(np.asarray(src.f0, np.float64), (K,))
+        t0a = np.broadcast_to(np.asarray(src.t0, np.float64), (K,))
+        ampa = np.broadcast_to(np.asarray(src.amp, np.float64), (K,))
+        groups: dict = {}
+        for kk in range(K):
+            key = (round(float(f0a[kk]), 12), round(float(t0a[kk]), 12))
+            groups.setdefault(key, []).append(kk)
+        if len(groups) <= 2:
+            sl_g = self._lane(e_new)  # GLOBAL state lanes
+            dense = []
+            for (f0g, t0g), idx in groups.items():
+                Su = np.zeros((d.dim * d.npp, self.Ls), np.float32)
+                Ss = np.zeros((d.n_sig * d.npp, self.Ls), np.float32)
+                for kk in idx:
+                    Su[:, sl_g[kk]] += vu[:, kk] * ampa[kk]
+                    Ss[:, sl_g[kk]] += vs[:, kk] * ampa[kk]
+                dense.append((jnp.asarray(Su, self.dtype),
+                              jnp.asarray(Ss, self.dtype)))
+                self._src_groups.append((f0g, t0g))
+            self.src_dense = tuple(dense)
         self.src = dict(
             elems=jnp.asarray(elems_sh),
             elems_tr=jnp.asarray(elems_tr_sh),
@@ -324,8 +350,10 @@ class ShardedFusedRunner:
             return field, tr
         r = (aux["src_amp"] * ricker(t, aux["src_f0"], aux["src_t0"]))
         r = r[None, :].astype(self.dtype)
-        field = field.at[:, aux["src_elems"]].add(vecs * r)
-        tr = tr.at[:, aux["src_elems_tr"]].add(tr_vecs * r)
+        from ..solver.timestep import inject_columns
+
+        field = inject_columns(field, aux["src_elems"], vecs * r)
+        tr = inject_columns(tr, aux["src_elems_tr"], tr_vecs * r)
         return field, tr
 
     def _step_loc(self, d, aux, mask, carry, t):
@@ -334,7 +362,30 @@ class ShardedFusedRunner:
         dt, c3 = self._dt_f, self._c3_f
         fill = self._fill_halo
 
+        dense = aux.get("dense_src")
+        vel_src = stress_src = None
+        if dense is not None:
+
+            def rfull(t_, g):
+                f0g, t0g = self._src_groups[g]
+                return jnp.full((8, plan.Ls),
+                                ricker(t_, f0g, t0g), self.dtype)
+
+            def vel_src(s, tr, t_):
+                return vel_merged(
+                    plan, d, s, fill(tr), mask, itp,
+                    inject=[(dense[g][0], rfull(t_, g))
+                            for g in range(len(dense))])
+
+            def stress_src(u, tr, t_):
+                return stress_merged(
+                    plan, d, u, fill(tr), mask, itp,
+                    inject=[(dense[g][1], rfull(t_, g))
+                            for g in range(len(dense))])
+
         lf = compose_lf_step_traced(
+            vel_src=vel_src,
+            stress_src=stress_src,
             vel=lambda s, tr: vel_merged(plan, d, s, fill(tr), mask, itp),
             stress=lambda u, tr: stress_merged(
                 plan, d, u, fill(tr), mask, itp),
@@ -385,9 +436,14 @@ class ShardedFusedRunner:
         if self.damp_u is not None:
             aux["damp_u"] = self.damp_u
         if self.src is not None:
-            for k in ("elems", "elems_tr", "vu", "vs", "tru", "trt",
-                      "f0", "t0", "amp"):
-                aux["src_" + k] = self.src[k]
+            if self.src_dense is not None:
+                # lane-sharded dense patterns (NOT shard-stacked: the
+                # key must avoid the src_ prefix un-stacked in inner())
+                aux["dense_src"] = self.src_dense
+            else:
+                for k in ("elems", "elems_tr", "vu", "vs", "tru", "trt",
+                          "f0", "t0", "amp"):
+                    aux["src_" + k] = self.src[k]
         if self.rcv is not None:
             aux["rcv_elems"] = self.rcv["elems"]
             aux["rcv_w"] = self.rcv["w"]
@@ -398,9 +454,15 @@ class ShardedFusedRunner:
         if self.damp_u is not None:
             specs["damp_u"] = P(None, AXIS)
         if self.src is not None:
-            for k in ("src_elems", "src_elems_tr", "src_vu", "src_vs",
-                      "src_tru", "src_trt", "src_f0", "src_t0", "src_amp"):
-                specs[k] = P(AXIS)
+            if self.src_dense is not None:
+                specs["dense_src"] = tuple(
+                    (P(None, AXIS), P(None, AXIS))
+                    for _ in self.src_dense)
+            else:
+                for k in ("src_elems", "src_elems_tr", "src_vu",
+                          "src_vs", "src_tru", "src_trt", "src_f0",
+                          "src_t0", "src_amp"):
+                    specs[k] = P(AXIS)
         if self.rcv is not None:
             specs["rcv_elems"] = P(AXIS)
             specs["rcv_w"] = P(AXIS)

@@ -610,7 +610,10 @@ class FusedLaneRunner:
                     acc += (normals[elems_old, f, dd][:, None]
                             * vec_s[:, fnodes[f], V[c, dd]])
                 trt[rows] = acc.T
-        self.src_elems = jnp.asarray(new_of_old[elems_old], jnp.int32)
+        lanes = new_of_old[elems_old]
+        self.src_elems = jnp.asarray(lanes, jnp.int32)
+        self._src_unique = bool(
+            np.unique(elems_old).size == elems_old.size)
         self.src_vu = jnp.asarray(vu, self.dtype)
         self.src_vs = jnp.asarray(vs, self.dtype)
         self.src_tru = jnp.asarray(tru, self.dtype)
@@ -666,8 +669,12 @@ class FusedLaneRunner:
             return field, tr
         r = (self.src_amp * ricker(t, self.src_f0, self.src_t0))[None, :]
         r = r.astype(self.dtype)
-        field = field.at[:, self.src_elems].add(vecs * r)
-        tr = tr.at[:, self.src_elems].add(tr_vecs * r)
+        from .timestep import inject_columns
+
+        field = inject_columns(field, self.src_elems, vecs * r,
+                               unique=self._src_unique)
+        tr = inject_columns(tr, self.src_elems, tr_vecs * r,
+                            unique=self._src_unique)
         return field, tr
 
     def step_with(self, d, aux, carry, t):

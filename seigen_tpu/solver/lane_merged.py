@@ -58,14 +58,37 @@ class MergedLaneRunner:
         if order != 4:
             raise ValueError("MergedLaneRunner is LF4-only (use the v1 lane "
                              "path for order=2)")
+        self._dt_f = float(dt)
+        self._c3_f = float(dt) ** 3 / 24.0
+        damp_perm = self._setup_core(
+            p, ex, dt, block, interpret, damp=damp, stiffness=stiffness)
+        d, plan, E = self.d, self.plan, self.E
         self.record_pressure = record_pressure
+
+        # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
+        # its traces feed the sh1 stage)
+        if damp is not None:
+            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn[: d.n_p] = damp_perm.T
+            dn = self._place(dn)
+            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+        else:
+            self.damp_u = None
+
+        self._build_sources(src, self._new_of_old)
+        self._build_receivers(receivers)
+
+    def _setup_core(self, p, ex, dt, block, interpret, damp=None,
+                    stiffness=None, pay=None):
+        """Shared lane-layout setup (also used by the upwind RK4 runner):
+        class-major permutation, merged plan, placed geo/mask, face-node
+        normal expansion + restriction matrix.  Returns the permuted damp
+        node values (or None)."""
         self.p = p
         self.ex = ex
         self.interpret = interpret
         self.dtype = p.Ginv.dtype
         self.dt = jnp.asarray(dt, self.dtype)
-        self._dt_f = float(dt)
-        self._c3_f = float(dt) ** 3 / 24.0
 
         NC = int(np.prod(ex.grid))
         self.NC = NC
@@ -79,7 +102,7 @@ class MergedLaneRunner:
         damp_perm = None if damp is None else np.asarray(damp)[old_of_new]
         d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
         self.E = E
-        plan = build_merged_plan(ex, d, bx)
+        plan = build_merged_plan(ex, d, bx, pay=pay)
         if plan is None:
             raise ValueError("mesh does not satisfy the merged-kernel "
                              "constraints (see build_merged_plan)")
@@ -103,27 +126,6 @@ class MergedLaneRunner:
                     ex.self_mask[t, f].reshape(-1))
         self.mask = jnp.asarray(mk, self.dtype)
 
-        # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
-        # its traces feed the sh1 stage)
-        if damp is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
-            dn[: d.n_p] = damp_perm.T
-            dn = self._place(dn)
-            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
-        else:
-            self.damp_u = None
-
-        self._build_sources(src, new_of_old)
-        if receivers is not None:
-            self.rcv = ReceiverData(
-                elems=jnp.asarray(
-                    self._slane(new_of_old[np.asarray(receivers.elems)]),
-                    jnp.int32),
-                weights=receivers.weights,
-            )
-        else:
-            self.rcv = None
-
         # face-node-expanded normals for the initial traction extraction
         nrm = np.asarray(p.normals)[old_of_new]  # (E, nf, dim)
         rep = np.repeat(np.arange(d.nf), d.n_fp)
@@ -135,6 +137,19 @@ class MergedLaneRunner:
         fn = np.array(p.fnodes).reshape(-1)
         rmat[np.arange(d.ftp), fn] = 1.0
         self._rmat = jnp.asarray(rmat, self.dtype)
+        return damp_perm
+
+    def _build_receivers(self, receivers):
+        if receivers is not None:
+            self.rcv = ReceiverData(
+                elems=jnp.asarray(
+                    self._slane(
+                        self._new_of_old[np.asarray(receivers.elems)]),
+                    jnp.int32),
+                weights=receivers.weights,
+            )
+        else:
+            self.rcv = None
 
     # --- layout helpers -----------------------------------------------
     def _place(self, arr):
@@ -190,8 +205,39 @@ class MergedLaneRunner:
                             * vec_s[:, fnodes[f], V[c, dd]])
                 trt[rows] = acc.T
         e_new = new_of_old[elems_old]
-        self.src_elems = jnp.asarray(self._slane(e_new), jnp.int32)
-        self.src_elems_tr = jnp.asarray(self._tlane(e_new), jnp.int32)
+        sl, tl = self._slane(e_new), self._tlane(e_new)
+        self.src_elems = jnp.asarray(sl, jnp.int32)
+        self.src_elems_tr = jnp.asarray(tl, jnp.int32)
+        self._src_unique = bool(np.unique(e_new).size == e_new.size)
+
+        # dense per-wavelet-group patterns for KERNEL-fused injection: a
+        # "point" source is a Gaussian blob over O(10k) elements (radius
+        # 2h), so per-element scatters cost ~1.3 ms/step at E=83k
+        # (BENCH_NOTES round 3).  Since the spatial pattern is constant
+        # and only the wavelet r_g(t) varies, the injection is
+        # out += r_g(t) * S_g inside the stage kernels — the emitted
+        # traces then carry the source for free.
+        self.src_dense = None
+        self._src_groups = []
+        f0a = np.broadcast_to(np.asarray(src.f0, np.float64), (K,))
+        t0a = np.broadcast_to(np.asarray(src.t0, np.float64), (K,))
+        ampa = np.broadcast_to(np.asarray(src.amp, np.float64), (K,))
+        groups: dict = {}
+        for k in range(K):
+            key = (round(float(f0a[k]), 12), round(float(t0a[k]), 12))
+            groups.setdefault(key, []).append(k)
+        if len(groups) <= 2:
+            dense = []
+            for (f0g, t0g), idx in groups.items():
+                Su = np.zeros((d.dim * d.npp, self.plan.Ls), np.float32)
+                Ss = np.zeros((d.n_sig * d.npp, self.plan.Ls), np.float32)
+                for k in idx:
+                    Su[:, sl[k]] += vu[:, k] * ampa[k]
+                    Ss[:, sl[k]] += vs[:, k] * ampa[k]
+                dense.append((jnp.asarray(Su, self.dtype),
+                              jnp.asarray(Ss, self.dtype)))
+                self._src_groups.append((f0g, t0g))
+            self.src_dense = tuple(dense)
         self.src_vu = jnp.asarray(vu, self.dtype)
         self.src_vs = jnp.asarray(vs, self.dtype)
         self.src_tru = jnp.asarray(tru, self.dtype)
@@ -203,45 +249,50 @@ class MergedLaneRunner:
         if self.damp_u is not None:
             aux["damp_u"] = self.damp_u
         if self.src_elems is not None:
-            aux["src_vu"], aux["src_vs"] = self.src_vu, self.src_vs
-            aux["src_tru"], aux["src_trt"] = self.src_tru, self.src_trt
+            if self.src_dense is not None:
+                aux["src_dense"] = self.src_dense
+            else:
+                aux["src_vu"], aux["src_vs"] = self.src_vu, self.src_vs
+                aux["src_tru"], aux["src_trt"] = (
+                    self.src_tru, self.src_trt)
         if self.rcv is not None:
             aux["rcv_w"] = self.rcv.weights
         return aux
 
     # --- state conversion ---
-    def to_lm_state(self, state: State):
+    def _to_lm(self, x, C):
+        """(E, n_p, C) standard -> (C*npp, Ls) per-class padded lanes."""
         d, plan = self.d, self.plan
         perm = jnp.asarray(self._old_of_new)
+        xt = x[perm].transpose(2, 1, 0)  # (C, n_p, E) class-major
+        out = jnp.zeros((C * d.npp, plan.Ls), dtype=x.dtype)
+        for c in range(C):
+            for t in range(plan.m):
+                out = jax.lax.dynamic_update_slice(
+                    out, xt[c][:, t * self.NC : (t + 1) * self.NC],
+                    (c * d.npp, t * plan.NCs))
+        return out
 
-        def conv(x, C):
-            xt = x[perm].transpose(2, 1, 0)  # (C, n_p, E) class-major
-            out = jnp.zeros((C * d.npp, plan.Ls), dtype=x.dtype)
-            for c in range(C):
-                for t in range(plan.m):
-                    out = jax.lax.dynamic_update_slice(
-                        out, xt[c][:, t * self.NC : (t + 1) * self.NC],
-                        (c * d.npp, t * plan.NCs))
-            return out
-
-        return conv(state.u, d.dim), conv(state.s, d.n_sig)
-
-    def from_lm_state(self, ulm, slm) -> State:
+    def _from_lm(self, y, C):
         d, plan = self.d, self.plan
         inv = jnp.asarray(self._new_of_old)
+        comps = []
+        for c in range(C):
+            cls = [
+                y[c * d.npp : c * d.npp + d.n_p,
+                  t * plan.NCs : t * plan.NCs + self.NC]
+                for t in range(plan.m)
+            ]
+            comps.append(jnp.concatenate(cls, axis=1))
+        return jnp.stack(comps, axis=0).transpose(2, 1, 0)[inv]
 
-        def conv(y, C):
-            comps = []
-            for c in range(C):
-                cls = [
-                    y[c * d.npp : c * d.npp + d.n_p,
-                      t * plan.NCs : t * plan.NCs + self.NC]
-                    for t in range(plan.m)
-                ]
-                comps.append(jnp.concatenate(cls, axis=1))
-            return jnp.stack(comps, axis=0).transpose(2, 1, 0)[inv]
+    def to_lm_state(self, state: State):
+        return self._to_lm(state.u, self.d.dim), self._to_lm(
+            state.s, self.d.n_sig)
 
-        return State(u=conv(ulm, d.dim), s=conv(slm, d.n_sig))
+    def from_lm_state(self, ulm, slm) -> State:
+        return State(u=self._from_lm(ulm, self.d.dim),
+                     s=self._from_lm(slm, self.d.n_sig))
 
     def traction_traces(self, slm):
         """Own-face traction traces of a lane-major stress field, placed in
@@ -278,13 +329,43 @@ class MergedLaneRunner:
             return field, tr
         r = (self.src_amp * ricker(t, self.src_f0, self.src_t0))[None, :]
         r = r.astype(self.dtype)
-        field = field.at[:, self.src_elems].add(vecs * r)
-        tr = tr.at[:, self.src_elems_tr].add(tr_vecs * r)
+        from .timestep import inject_columns
+
+        field = inject_columns(field, self.src_elems, vecs * r,
+                               unique=self._src_unique)
+        tr = inject_columns(tr, self.src_elems_tr, tr_vecs * r,
+                            unique=self._src_unique)
         return field, tr
 
     def _fill_halo(self, tr):
         """Single-chip: no halos (axis-0 wraps are boundary-masked)."""
         return tr
+
+    def _src_stage_ops(self, d, aux, plan, mask, itp, fill):
+        """(vel_src, stress_src) kernel-fused injection stage operators,
+        or (None, None) when the dense-pattern path is not active."""
+        dense = aux.get("src_dense")
+        if dense is None:
+            return None, None
+        Lsz = plan.Ls
+
+        def rfull(t_, g):
+            f0g, t0g = self._src_groups[g]
+            return jnp.full((8, Lsz), ricker(t_, f0g, t0g), self.dtype)
+
+        def vel_src(s, tr, t_):
+            return vel_merged(
+                plan, d, s, fill(tr), mask, itp,
+                inject=[(dense[g][0], rfull(t_, g))
+                        for g in range(len(dense))])
+
+        def stress_src(u, tr, t_):
+            return stress_merged(
+                plan, d, u, fill(tr), mask, itp,
+                inject=[(dense[g][1], rfull(t_, g))
+                        for g in range(len(dense))])
+
+        return vel_src, stress_src
 
     def step_with(self, d, aux, carry, t):
         ulm, slm, trs = carry
@@ -292,8 +373,12 @@ class MergedLaneRunner:
         itp = self.interpret
         plan, mask = self.plan, aux["mask"]
         fill = self._fill_halo
+        vel_src, stress_src = self._src_stage_ops(
+            d, aux, plan, mask, itp, fill)
 
         lf = compose_lf_step_traced(
+            vel_src=vel_src,
+            stress_src=stress_src,
             vel=lambda s, tr: vel_merged(plan, d, s, fill(tr), mask, itp),
             stress=lambda u, tr: stress_merged(
                 plan, d, u, fill(tr), mask, itp),

@@ -80,7 +80,8 @@ def compose_lf_step(vel, stress, inject_u, inject_s, post, dt, order: int):
 
 
 def compose_lf_step_traced(vel, stress, vel_axpy, stress_axpy,
-                           inject_u, inject_s, post_u):
+                           inject_u, inject_s, post_u,
+                           vel_src=None, stress_src=None):
     """The LF4 stage sequence for TRACE-CARRYING fused operators — the same
     math as compose_lf_step(order=4), with the axpy updates folded into the
     final operator of each half-step and every operator emitting the face
@@ -96,24 +97,52 @@ def compose_lf_step_traced(vel, stress, vel_axpy, stress_axpy,
         AND its emitted traces (the trace arrays must stay consistent)
       post_u(u): end-of-step velocity damping (the stress damp is folded
         into stress_axpy; u must be damped AFTER its traces feed sh1)
+      vel_src(s, tr, t) / stress_src(u, tr, t): OPTIONAL source-fused
+        stage operators used at the two injection sites INSTEAD of
+        vel/stress + inject (kernel-fused dense-pattern injection — the
+        emitted traces already contain the source, so the inject_*
+        callbacks are bypassed)
 
     The scan carry is (u, s, tr_t): the traction traces of s ride across
     steps so the first stage never re-extracts them.
     """
 
     def step(u, s, tr_t, t, dt):
-        uh1, tru1 = vel(s, tr_t)
-        uh1, tru1 = inject_u(uh1, tru1, t + 0.5 * dt)
+        if vel_src is not None:
+            uh1, tru1 = vel_src(s, tr_t, t + 0.5 * dt)
+        else:
+            uh1, tru1 = vel(s, tr_t)
+            uh1, tru1 = inject_u(uh1, tru1, t + 0.5 * dt)
         st, trt_st = stress(uh1, tru1)
         unew, tru_new = vel_axpy(st, trt_st, u, uh1)
 
-        sh1, trt_sh1 = stress(unew, tru_new)
-        sh1, trt_sh1 = inject_s(sh1, trt_sh1, t + dt)
+        if stress_src is not None:
+            sh1, trt_sh1 = stress_src(unew, tru_new, t + dt)
+        else:
+            sh1, trt_sh1 = stress(unew, tru_new)
+            sh1, trt_sh1 = inject_s(sh1, trt_sh1, t + dt)
         ut, tru_ut = vel(sh1, trt_sh1)
         snew, trt_new = stress_axpy(ut, tru_ut, s, sh1)
         return post_u(unew), snew, trt_new
 
     return step
+
+
+def inject_columns(arr: jax.Array, lanes: jax.Array, patch: jax.Array,
+                   unique: bool = False):
+    """arr[:, lanes[k]] += patch[:, k] (point-source injection).
+
+    Formulation pitfalls measured on TPU at E=83k inside the merged
+    pipeline's aliased-Pallas scan (BENCH_NOTES round 3): a plain
+    scatter-add costs ~0.35 ms per call (XLA densifies); K
+    dynamic_update_slice columns SIGSEGV this libtpu's compiler when the
+    target buffer sits in a Pallas input_output_aliases chain; a dense
+    one-hot matmul + add breaks the chain's buffer reuse entirely
+    (18 ms/step).  The scatter is the robust formulation; callers that
+    know their lanes are distinct (checked host-side at build time)
+    pass unique=True.
+    """
+    return arr.at[:, lanes].add(patch, unique_indices=unique)
 
 
 def damp_post(damp: jax.Array | None):

@@ -94,6 +94,26 @@ def test_merged_bounded_2d():
     _compare(dm, block=8)
 
 
+def test_merged_dense_injection_2d():
+    """A blob source (one wavelet, many elements) must ride the
+    kernel-fused dense-pattern injection path — vs the scatter-injecting
+    fused reference."""
+    ext = ((0.0, 1.0),) * 2
+    dm = build_discrete(rect_mesh(8, 8),
+                        2, bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.6), f0=4.0, radius=0.2)],
+        dtype=jnp.float32)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.4)
+    probe = MergedLaneRunner(p, ex, dt, order=4, src=src, block=8,
+                             interpret=True)
+    assert probe.src_dense is not None, "blob source must go dense"
+    assert len(probe.src_dense) == 1  # one wavelet group
+    _compare(dm, block=8, src=src, n_steps=2)
+
+
 def test_merged_lane_padding_2d():
     ext = ((0.0, 1.0),) * 2
     dm = build_discrete(rect_mesh(4, 4),
