@@ -47,14 +47,16 @@ def main():
     ap.add_argument("--shards", type=int, default=0,
                     help="run mesh-sharded over this many devices")
     ap.add_argument("--dist-impl",
-                    choices=["auto", "fused", "lane", "general"],
+                    choices=["auto", "fused", "lane", "lane_u", "general"],
                     default="auto",
                     help="sharded backend: 'fused' = v3 slab-sharded merged "
                          "kernels + compact trace-plane ppermute halos "
                          "(structured meshes, shards | G0); 'lane' = v1 "
-                         "slab-sharded pipeline; 'general' = unstructured "
-                         "ppermute halo path; 'auto' picks fused > lane "
-                         "when eligible")
+                         "slab-sharded pipeline; 'lane_u' = Morton-block "
+                         "sharded unstructured fast path (all-gathered "
+                         "boundary trace panels); 'general' = einsum "
+                         "ppermute halo path; 'auto' picks "
+                         "fused > lane > lane_u when eligible")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--vtk", type=str, default=None,
@@ -249,16 +251,17 @@ def main():
         # general unstructured ppermute halo path otherwise
         runner = None
         dist_name = None
-        if args.dist_impl in ("lane", "fused") and args.scheme != "lf":
+        if args.dist_impl in ("lane", "fused", "lane_u") and (
+                args.scheme != "lf"):
             raise SystemExit(f"--dist-impl {args.dist_impl} supports "
                              "--scheme lf only")
+        interp = jax.devices()[0].platform == "cpu"
         if args.dist_impl in ("auto", "lane", "fused") and (
                 args.scheme == "lf"):
             from seigen_tpu.ops.structured_exchange import detect_structured
 
             ex = detect_structured(dm)
             eligible = ex is not None and ex.grid[0] % args.shards == 0
-            interp = jax.devices()[0].platform == "cpu"
             if eligible and args.dist_impl in ("auto", "fused") and (
                     args.order == 4):
                 from seigen_tpu.parallel.fused_sharded import (
@@ -286,8 +289,21 @@ def main():
                     f"--dist-impl {args.dist_impl} needs a structured mesh "
                     "with shards | G0 "
                     f"(got grid={None if ex is None else ex.grid})")
+        if runner is None and args.dist_impl in ("auto", "lane_u") and (
+                args.scheme == "lf"):
+            # Morton-block sharded unstructured fast path: in-kernel-select
+            # operators shard-locally + all-gathered boundary trace panels
+            from seigen_tpu.parallel.unstructured_sharded import (
+                ShardedUnstructuredRunner)
+
+            runner = ShardedUnstructuredRunner(
+                p, dt, args.shards, order=args.order,
+                centroids=np.asarray(dm.coords.mean(axis=1)), src=src,
+                damp=damp, receivers=rcv, interpret=interp)
+            dist_name = "lane_u"
         if runner is not None:
-            print(f"sharded path: {dist_name} (slab x{args.shards})")
+            kind = "Morton blocks" if dist_name == "lane_u" else "slab"
+            print(f"sharded path: {dist_name} ({kind} x{args.shards})")
             with timer.region("run"):
                 fin, seis = runner.run(st, n_steps - step0, step0=step0)
                 seis_chunks.append(seis)

@@ -102,8 +102,8 @@ def measure(
     the DiscreteMesh ``dm`` for structure detection)."""
     dim = p.dim
     dm_for_ex = dm
-    if impl in ("lane", "fused", "merged", "lane_u", "lane_sharded",
-                "fused_sharded"):
+    if impl in ("lane", "fused", "merged", "lane_u", "lane_u_sharded",
+                "lane_sharded", "fused_sharded"):
         if impl == "fused_sharded":
             # v3 multi-chip pipeline (config 5): merged kernels + compact
             # trace-plane ppermute; at one local device this is the 1-shard
@@ -153,7 +153,19 @@ def measure(
                 n_elements=E, n_dof=n_dof, degree=p.degree,
                 n_steps=n_steps, seconds=dt_wall,
             )
-        if impl == "lane_u":
+        if impl == "lane_u_sharded":
+            # Morton-block sharded unstructured fast path; with one local
+            # device this is the 1-shard hardware validation, on a pod the
+            # unstructured strong-scaling measurement
+            from ..parallel.unstructured_sharded import (
+                ShardedUnstructuredRunner,
+            )
+
+            runner = ShardedUnstructuredRunner(
+                p, dt, len(jax.devices()), order=order, src=src, damp=damp,
+                centroids=np.asarray(dm.coords.mean(axis=1)))
+            ex = None
+        elif impl == "lane_u":
             from ..solver.lane_unstructured import UnstructuredLaneRunner
 
             runner = UnstructuredLaneRunner(

@@ -47,13 +47,27 @@ def run_segmented(
     damp: jax.Array | None = None,
     receivers: ReceiverData | None = None,
     step0: int = 0,
+    vel_op=None,
+    stress_op=None,
 ):
     """Like solver.timestep.run, but with rematerialized segments.
 
     ``segment`` must divide n_steps; None runs one plain (fully stored)
     scan.  Returns (final State, seismograms or None).
+
+    ``vel_op``/``stress_op`` override the general einsum operators, e.g.
+    with ops.structured_exchange.make_structured_ops' roll closures —
+    every formulation here is pure jnp, so gradients ride whichever is
+    fastest for the mesh (FWI gradients do NOT need the Pallas kernels:
+    the roll exchange is the fastest differentiable path on structured
+    meshes, see solver/fwi.py).
     """
-    step = make_step(p, dt, order=order, src=src, damp=damp)
+    kw = {}
+    if vel_op is not None:
+        kw["vel_op"] = vel_op
+    if stress_op is not None:
+        kw["stress_op"] = stress_op
+    step = make_step(p, dt, order=order, src=src, damp=damp, **kw)
     dtype = p.Ginv.dtype
     dt_ = jnp.asarray(dt, dtype=dtype)
 

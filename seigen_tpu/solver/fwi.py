@@ -1,0 +1,241 @@
+"""Production full-waveform-inversion loop.
+
+The round-2 demo (scripts/fwi.py) proved the gradient machinery; this
+module is the production driver the reference never had (it is
+forward-only — SURVEY.md §3 lists inversion as out of scope), built from
+standard FWI practice re-expressed as jit-friendly JAX:
+
+- **optax optimizers**: Adam (robust default) and L-BFGS with optax's
+  zoom linesearch; plain max-normalized descent kept as the oracle.
+- **Gradient smoothing / preconditioning**: a face-adjacency Jacobi
+  smoother (element-graph Laplacian) applied to the raw gradient —
+  suppresses the checkerboard/point-scatterer null-space modes that DG
+  element-wise parametrizations produce.
+- **Frequency continuation**: stages of low-pass-filtered misfits
+  (Gaussian FIR along the time axis, applied identically to synthetic
+  and observed data) from low to full band — the standard cure for
+  cycle-skipping local minima.
+- **Multi-shot batching**: shots ride `solver/shots.py` (vmap shot axis;
+  `shard_shots` lays it over a device mesh for data parallelism).
+- **Box bounds**: projected after every update (vp/vs/rho physical
+  ranges).
+
+Gradient path note (round-2 verdict item 7): gradients ride the EINSUM
+formulations, with the structured-mesh roll exchange
+(ops/structured_exchange.make_structured_ops) as the fast variant —
+every op there is pure jnp, so reverse-mode AD is exact through the
+whole LF4 scan.  The Pallas lane kernels have no VJP rules; a custom_vjp
+over them would have to hand-maintain the transposed kernels for every
+physics variant, which contradicts the single-source physics rule
+(CLAUDE.md).  Measured cost of the choice at the demo scale is recorded
+in BENCH_NOTES.md ("FWI gradient path").
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elastic import ElasticParams
+from .adjoint import with_material
+from .receivers import ReceiverData
+from .shots import run_shots
+from .source import SourceData
+from .timestep import State
+
+
+# --- frequency continuation: differentiable low-pass ----------------------
+def lowpass_taps(dt: float, fmax: float, dtype=jnp.float32) -> jax.Array:
+    """Gaussian FIR taps with -3 dB at ``fmax`` (normalized, odd length).
+
+    A Gaussian has monotone frequency response (no ringing) and its time
+    taps decay fast, so a short static kernel suffices; sigma chosen from
+    |H(f)|^2 = 1/2 at fmax.
+    """
+    sigma_t = float(np.sqrt(np.log(2.0) / 2.0) / (np.pi * fmax))
+    sigma_n = max(sigma_t / dt, 1e-3)
+    half = max(int(np.ceil(4.0 * sigma_n)), 1)
+    n = np.arange(-half, half + 1)
+    taps = np.exp(-0.5 * (n / sigma_n) ** 2)
+    return jnp.asarray(taps / taps.sum(), dtype)
+
+
+def lowpass(x: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
+    """Apply FIR ``taps`` along ``axis`` (same-length output, zero pad)."""
+    x = jnp.moveaxis(x, axis, -1)
+    shp = x.shape
+    half = taps.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        x.reshape(-1, 1, shp[-1]).astype(taps.dtype),
+        taps.reshape(1, 1, -1),
+        window_strides=(1,),
+        padding=((half, half),),
+    )
+    return jnp.moveaxis(y.reshape(shp), -1, axis)
+
+
+# --- gradient smoothing ----------------------------------------------------
+def make_smoother(p: ElasticParams, iters: int = 2, weight: float = 0.5):
+    """Element-graph Jacobi smoother g -> smoothed g ((E,) arrays).
+
+    Neighbours come from the face pairing (p.nbr decodes to the producer
+    element per face; boundary faces self-pair, so boundary elements
+    average over themselves — no special casing).  ``iters`` applications
+    of g <- (1-w) g + w mean_f g[e2[:, f]].
+    """
+    nbr = np.asarray(p.nbr)
+    e2 = jnp.asarray(nbr[:, :, 0] // p.n_p, jnp.int32)  # (E, nf)
+
+    def smooth(g):
+        for _ in range(iters):
+            g = (1.0 - weight) * g + weight * jnp.mean(
+                jnp.take(g, e2, axis=0), axis=1)
+        return g
+
+    return smooth
+
+
+# --- the production loop ---------------------------------------------------
+@dataclass
+class FwiResult:
+    theta: dict
+    misfits: list = field(default_factory=list)
+    bands: list = field(default_factory=list)
+    wall_s: float = 0.0
+
+
+def invert(
+    p0: ElasticParams,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    shots: SourceData,
+    receivers: ReceiverData,
+    observed: jax.Array,
+    *,
+    fields: tuple = ("vp",),
+    optimizer: str = "adam",
+    lr: float = 0.02,
+    iters: int = 20,
+    bands: tuple | None = None,
+    smooth_iters: int = 2,
+    smooth_weight: float = 0.5,
+    bounds: dict | None = None,
+    order: int = 4,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+    vel_op=None,
+    stress_op=None,
+    theta0: dict | None = None,
+    log=None,
+) -> FwiResult:
+    """Multi-stage FWI: for each band (low -> full), minimize the
+    low-passed multi-shot L2 misfit over ``theta`` = {field: (E,)}.
+
+    ``shots``: stacked SourceData (solver.shots.stack_shots), optionally
+    shard_shots-placed for shot-axis data parallelism.  ``observed``:
+    (S, n_steps, R, C) seismograms from the true model (same receiver
+    set).  ``bands``: cutoff frequencies in Hz, e.g. (4.0, 8.0, None)
+    — None = unfiltered full band.  ``bounds``: {field: (lo, hi)} box
+    projection.  ``optimizer``: "adam" | "lbfgs" | "gd" (max-normalized
+    descent, the round-2 demo's update).  ``iters`` per band.
+
+    Returns FwiResult with the final theta, per-iteration misfits, and
+    wall-clock.
+    """
+    import optax
+
+    if bands is None:
+        bands = (None,)
+    dtype = p0.Ginv.dtype
+
+    def full_theta():
+        full = {
+            "vp": jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho),
+            "vs": jnp.sqrt(p0.mu * p0.inv_rho),
+            "rho": 1.0 / p0.inv_rho,
+        }
+        return {k: full[k] for k in fields}
+
+    theta = dict(theta0) if theta0 is not None else full_theta()
+    smoothp = (make_smoother(p0, smooth_iters, smooth_weight)
+               if smooth_iters else None)
+
+    def project(th):
+        if not bounds:
+            return th
+        return {
+            k: (jnp.clip(v, *bounds[k]) if k in bounds else v)
+            for k, v in th.items()
+        }
+
+    def make_loss(taps):
+        obs = observed if taps is None else lowpass(observed, taps, axis=1)
+
+        def loss(th):
+            p = with_material(p0, **th)
+            _, seis = run_shots(
+                p, state0, dt, n_steps, shots, receivers=receivers,
+                order=order, damp=damp, segment=segment,
+                vel_op=vel_op, stress_op=stress_op)
+            if taps is not None:
+                seis = lowpass(seis, taps, axis=1)
+            r = seis - obs
+            return 0.5 * jnp.sum(r * r)
+
+        return loss
+
+    misfits: list = []
+    band_log: list = []
+    t_start = time.perf_counter()
+    for fc in bands:
+        taps = (None if fc is None
+                else lowpass_taps(dt, float(fc), dtype=dtype))
+        loss = make_loss(taps)
+        vg = jax.jit(jax.value_and_grad(loss))
+
+        if optimizer == "lbfgs":
+            # optax L-BFGS carries value/grad in its state for the zoom
+            # linesearch; gradient smoothing would make them inconsistent,
+            # so L-BFGS runs on raw gradients (its inverse-Hessian builds
+            # its own preconditioner).
+            opt = optax.lbfgs()
+            opt_state = opt.init(theta)
+            value_and_grad = optax.value_and_grad_from_state(loss)
+            for it in range(iters):
+                value, grad = value_and_grad(theta, state=opt_state)
+                updates, opt_state = opt.update(
+                    grad, opt_state, theta, value=value, grad=grad,
+                    value_fn=loss)
+                theta = project(optax.apply_updates(theta, updates))
+                misfits.append(float(value))
+                if log:
+                    log(f"band={fc} iter={it} misfit={float(value):.4e}")
+        else:
+            opt = (optax.adam(lr) if optimizer == "adam"
+                   else optax.sgd(1.0))
+            opt_state = opt.init(theta)
+            for it in range(iters):
+                value, grad = vg(theta)
+                if smoothp is not None:
+                    grad = {k: smoothp(v) for k, v in grad.items()}
+                if optimizer == "gd":
+                    # max-normalized descent: lr in model units at the
+                    # most sensitive element (the round-2 demo update)
+                    gmax = max(
+                        float(jnp.abs(v).max()) for v in grad.values())
+                    grad = {k: (lr / max(gmax, 1e-30)) * v
+                            for k, v in grad.items()}
+                updates, opt_state = opt.update(grad, opt_state, theta)
+                theta = project(optax.apply_updates(theta, updates))
+                misfits.append(float(value))
+                if log:
+                    log(f"band={fc} iter={it} misfit={float(value):.4e}")
+        band_log.append({"fc": fc, "misfit_end": misfits[-1]})
+
+    return FwiResult(theta=theta, misfits=misfits, bands=band_log,
+                     wall_s=time.perf_counter() - t_start)

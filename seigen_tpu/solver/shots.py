@@ -63,6 +63,8 @@ def run_shots(
     order: int = 4,
     damp: jax.Array | None = None,
     segment: int | None = None,
+    vel_op=None,
+    stress_op=None,
 ):
     """vmapped forward solve over the leading shot axis of ``shots``.
 
@@ -76,7 +78,8 @@ def run_shots(
     def one(shot_src):
         return run_segmented(
             p, state0, dt, n_steps, segment=segment, order=order,
-            src=shot_src, damp=damp, receivers=receivers)
+            src=shot_src, damp=damp, receivers=receivers,
+            vel_op=vel_op, stress_op=stress_op)
 
     return jax.vmap(one)(shots)
 
