@@ -214,38 +214,73 @@ def build_discrete(
             p[np.abs(p[:, ax] - hi) < tol, ax] = lo
         return np.round(p / (1e-10 * scale)).astype(np.int64)
 
-    # keys: sorted canonical ids + quantized centroid + sorted bary
-    keys = np.empty((E, n_faces, n_fp, 3 * dim), dtype=np.int64)
+    # Pairing runs at FACE granularity (E*nf keyed rows), with the node
+    # permutation recovered from static tables — equivalent to keying
+    # every face NODE by (sorted ids, centroid, bary-in-sorted-frame) as
+    # the direct formulation does, but ~n_fp x cheaper at setup (the
+    # per-node formulation materialized an (E, nf, nfp, 3 dim) int64 key
+    # tensor and paired 3.3M rows at E=83k P3 — measured 8 s of the 11 s
+    # host setup on this throttled vCPU).  Equivalence: two face nodes
+    # pair iff their faces' (sorted canonical ids, centroid) agree AND
+    # their barycentric coords agree in the sorted-vertex frame; the
+    # latter depends only on (face id, argsort permutation) of each side,
+    # so it is a lookup in a (nf, dim!, nf, dim!, n_fp) table.
+    from itertools import permutations as _perms
+
+    perms_list = list(_perms(range(dim)))
+    nperm = len(perms_list)
+    radix2code = np.full(dim**dim, -1, dtype=np.int64)
+    for o, pm in enumerate(perms_list):
+        c = 0
+        for i in range(dim):
+            c = c * dim + pm[i]
+        radix2code[c] = o
+
+    keys_f = np.empty((E, n_faces, 2 * dim), dtype=np.int64)
+    ordcode = np.empty((E, n_faces), dtype=np.int64)
     for f in range(n_faces):
-        cids = canon[cells[:, re.face_vertices[f]]]  # (E, dim)
-        order = np.argsort(cids, axis=1)  # (E, dim)
-        scids = np.take_along_axis(cids, order, axis=1)
-        cent = _canon_quant(verts[cells[:, re.face_vertices[f]]].mean(axis=1))
-        # reorder bary columns identically for every node on the face
-        sb = qbary[f][None, :, :]  # (1, n_fp, dim)
-        sb = np.take_along_axis(
-            np.broadcast_to(sb, (E, n_fp, dim)), order[:, None, :], axis=2
-        )
-        keys[:, f, :, :dim] = scids[:, None, :]
-        keys[:, f, :, dim : 2 * dim] = cent[:, None, :]
-        keys[:, f, :, 2 * dim :] = sb
+        fverts = cells[:, re.face_vertices[f]]
+        cids = canon[fverts]  # (E, dim)
+        order = np.argsort(cids, axis=1)
+        keys_f[:, f, :dim] = np.take_along_axis(cids, order, axis=1)
+        keys_f[:, f, dim:] = _canon_quant(verts[fverts].mean(axis=1))
+        oc = np.zeros(E, dtype=np.int64)
+        for i in range(dim):
+            oc = oc * dim + order[:, i]
+        ordcode[:, f] = radix2code[oc]
+    assert (ordcode >= 0).all()
 
-    flat_keys = keys.reshape(-1, 3 * dim)
-    partner = _pair_rows(flat_keys)
-    N = flat_keys.shape[0]
+    partner_f = _pair_rows(keys_f.reshape(-1, 2 * dim))
+    NF = E * n_faces
+    pe2 = partner_f // n_faces
+    pf2 = partner_f % n_faces
 
-    # decode slots -> (e, f, k)
-    pe = partner // (n_faces * n_fp)
-    pf = (partner // n_fp) % n_faces
-    pk = partner % n_fp
-    nbr = (pe * n_p + re.fnodes[pf, pk]).astype(np.int32)
+    # node permutation tables: bary rows in each sorted-vertex frame
+    sb_tab = np.empty((n_faces, nperm, n_fp, dim), dtype=np.int64)
+    for f in range(n_faces):
+        for o, pm in enumerate(perms_list):
+            sb_tab[f, o] = qbary[f][:, list(pm)]
+    k2_tab = np.full((n_faces, nperm, n_faces, nperm, n_fp), -1,
+                     dtype=np.int64)
+    for f2 in range(n_faces):
+        for o2 in range(nperm):
+            lookup = {tuple(row): k2
+                      for k2, row in enumerate(sb_tab[f2, o2])}
+            for f1 in range(n_faces):
+                for o1 in range(nperm):
+                    row = [lookup.get(tuple(r), -1) for r in sb_tab[f1, o1]]
+                    if all(r >= 0 for r in row):
+                        k2_tab[f1, o1, f2, o2] = row
+
+    f1_idx = np.tile(np.arange(n_faces), E)
+    o1 = ordcode.reshape(-1)
+    o2 = ordcode[pe2, pf2]
+    k2 = k2_tab[f1_idx, o1, pf2, o2]  # (NF, n_fp)
+    assert (k2 >= 0).all(), "paired faces with incompatible node layouts"
+    nbr = (pe2[:, None] * n_p + re.fnodes[pf2[:, None], k2]).astype(np.int32)
     nbr = nbr.reshape(E, n_faces, n_fp)
 
-    # boundary faces: all their node slots are singletons
-    selfpair = (partner == np.arange(N)).reshape(E, n_faces, n_fp)
-    is_boundary = selfpair.all(axis=2)
-    partial = selfpair.any(axis=2)
-    assert np.array_equal(is_boundary, partial), "face pairing must be whole-face"
+    is_boundary = (partner_f == np.arange(NF)).reshape(E, n_faces)
 
     # boundary: gather own trace (ghost states handled by bc masks in ops)
     own = (
@@ -257,12 +292,8 @@ def build_discrete(
     bc = np.zeros((E, n_faces), dtype=np.int8)
     if np.any(is_boundary):
         be, bf = np.nonzero(is_boundary)
-        centroids = np.array(
-            [
-                verts[cells[e, re.face_vertices[f]]].mean(axis=0)
-                for e, f in zip(be, bf)
-            ]
-        )
+        fv = np.asarray(re.face_vertices)  # (nf, dim)
+        centroids = verts[cells[be[:, None], fv[bf]]].mean(axis=1)
         if bc_fn is None:
             codes = np.full(len(be), BC_FREE, dtype=np.int8)
         else:

@@ -21,14 +21,32 @@ from .source import SourceData
 from .timestep import State
 
 
+def pad_shot(s: SourceData, K: int) -> SourceData:
+    """Pad a shot's source entries to K with zero-amplitude entries
+    (element 0, zero vectors — injecting exactly nothing)."""
+    k = s.elems.shape[0]
+    if k == K:
+        return s
+    pad = K - k
+
+    def pz(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    return SourceData(
+        elems=pz(s.elems), vec_u=pz(s.vec_u), vec_s=pz(s.vec_s),
+        # padded wavelets get f0=1 (ricker divides by f0), amp=0
+        f0=jnp.concatenate([s.f0, jnp.ones((pad,), s.f0.dtype)]),
+        t0=pz(s.t0), amp=pz(s.amp))
+
+
 def stack_shots(shots: list[SourceData]) -> SourceData:
-    """Stack equal-size per-shot SourceData into one with a leading shot
-    axis (pad shots to the same K with zero-amplitude entries upstream if
-    needed)."""
-    ks = {s.elems.shape[0] for s in shots}
-    if len(ks) != 1:
-        raise ValueError(f"shots must have equal source-entry counts, got "
-                         f"{sorted(ks)}")
+    """Stack per-shot SourceData into one with a leading shot axis.
+
+    Shots with different source-entry counts (e.g. Gaussian blobs covering
+    different element counts per position) are zero-amplitude-padded to
+    the largest count."""
+    K = max(s.elems.shape[0] for s in shots)
+    shots = [pad_shot(s, K) for s in shots]
     stack = lambda f: jnp.stack([getattr(s, f) for s in shots])  # noqa:E731
     return SourceData(
         elems=stack("elems"), vec_u=stack("vec_u"), vec_s=stack("vec_s"),

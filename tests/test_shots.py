@@ -113,13 +113,23 @@ def test_sharded_shots_match_unsharded():
                                rtol=1e-12, atol=1e-15)
 
 
-def test_stack_shots_rejects_mismatched():
+def test_stack_shots_pads_mismatched_with_inert_entries():
+    """Shots with different source-entry counts are zero-amp padded; the
+    padded entries must inject nothing (equal to the unpadded run up to
+    XLA fusion-order noise — the K-shape change recompiles the scan)."""
     dm, p, dt, st, rcv, shot_list = _setup()
-    bad = build_sources(
+    two = build_sources(
         dm, [PointSource(position=(0.5, 0.6), f0=3.0),
              PointSource(position=(0.4, 0.5), f0=3.0)],
         dtype=jnp.float64)
-    import pytest
-
-    with pytest.raises(ValueError):
-        stack_shots([shot_list[0], bad])
+    ref, seis_ref = run_shots(p, st, dt, 5, stack_shots([shot_list[0]]),
+                              receivers=rcv)
+    mixed = stack_shots([shot_list[0], two])
+    assert mixed.elems.shape == (2, 2)
+    out, seis = run_shots(p, st, dt, 5, mixed, receivers=rcv)
+    np.testing.assert_allclose(np.asarray(seis[0]),
+                               np.asarray(seis_ref[0]),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(out.u[0]),
+                               np.asarray(ref.u[0]),
+                               rtol=1e-12, atol=1e-15)
