@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--T", type=float, default=1.2)
     ap.add_argument("--segment", type=int, default=None,
                     help="jax.checkpoint segment length (adjoint memory)")
+    ap.add_argument("--batch", choices=["vmap", "map"], default="vmap",
+                    help="shot batching: 'map' compiles one shot body "
+                         "(S x smaller program; use for big 3D runs)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None,
@@ -167,7 +170,8 @@ def main():
     p_true = with_material(p0, vp=vp_true)
     _, observed = jax.jit(lambda p: run_shots(
         p, st0, dt, n_steps, shots, receivers=rcv, damp=damp,
-        segment=args.segment, vel_op=vel_op, stress_op=stress_op))(p_true)
+        segment=args.segment, vel_op=vel_op, stress_op=stress_op,
+        batch=args.batch))(p_true)
     observed = jax.block_until_ready(observed)
     print(f"setup+observed: {time.perf_counter() - t_setup:.1f} s",
           flush=True)
@@ -184,7 +188,7 @@ def main():
         fields=("vp",), optimizer=args.optimizer, lr=lr,
         iters=args.iters, bands=bands, smooth_iters=args.smooth,
         bounds={"vp": (lo, hi)}, damp=damp, segment=args.segment,
-        vel_op=vel_op, stress_op=stress_op,
+        vel_op=vel_op, stress_op=stress_op, batch=args.batch,
         log=lambda s: print(s, flush=True))
 
     vp0 = jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho)

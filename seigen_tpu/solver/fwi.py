@@ -130,6 +130,7 @@ def invert(
     segment: int | None = None,
     vel_op=None,
     stress_op=None,
+    batch: str = "vmap",
     theta0: dict | None = None,
     log=None,
 ) -> FwiResult:
@@ -181,7 +182,7 @@ def invert(
             _, seis = run_shots(
                 p, state0, dt, n_steps, shots, receivers=receivers,
                 order=order, damp=damp, segment=segment,
-                vel_op=vel_op, stress_op=stress_op)
+                vel_op=vel_op, stress_op=stress_op, batch=batch)
             if taps is not None:
                 seis = lowpass(seis, taps, axis=1)
             r = seis - obs

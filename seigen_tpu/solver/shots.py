@@ -83,14 +83,21 @@ def run_shots(
     segment: int | None = None,
     vel_op=None,
     stress_op=None,
+    batch: str = "vmap",
 ):
-    """vmapped forward solve over the leading shot axis of ``shots``.
+    """Batched forward solve over the leading shot axis of ``shots``.
 
     Returns (final States (S, ...), seismograms (S, n_steps, R, dim)).
     ``state0`` is shared (unbatched) across shots.  If ``shots`` was laid
     out with ``shard_shots``, XLA partitions the whole solve over the
     mesh's "shot" axis (per-shot programs are independent; outputs come
     back shot-sharded).
+
+    ``batch``: "vmap" fuses all shots into one batched program (fastest
+    when it fits); "map" compiles ONE shot body and lax.map's over the
+    shot axis — same results, ~S x smaller XLA program and peak memory
+    (the degraded remote-compile service on this host times out on large
+    vmapped+checkpointed programs, BENCH_NOTES round 3).
     """
 
     def one(shot_src):
@@ -99,6 +106,8 @@ def run_shots(
             src=shot_src, damp=damp, receivers=receivers,
             vel_op=vel_op, stress_op=stress_op)
 
+    if batch == "map":
+        return jax.lax.map(one, shots)
     return jax.vmap(one)(shots)
 
 
