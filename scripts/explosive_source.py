@@ -71,7 +71,9 @@ def main():
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--vti", type=str, default=None,
                     help="'epsilon,delta,gamma' Thomsen parameters: VTI "
-                         "anisotropic medium (3D, scheme lf, einsum path)")
+                         "anisotropic medium (3D, scheme lf; rides the "
+                         "merged/fused lane kernels on structured meshes, "
+                         "einsum otherwise)")
     ap.add_argument("--qp", type=float, default=None,
                     help="P/bulk quality factor Q_kappa (viscoelastic "
                          "attenuation; requires --scheme upwind-rk4)")
@@ -334,19 +336,24 @@ def main():
         runner = None
         impl = args.impl
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        if aniso_C is not None:
-            impl = "einsum"  # aniso stress op rides the einsum path
+        if aniso_C is not None and impl in ("lane", "lane_u", "pallas"):
+            # only the v2/v3 kernels implement the C-contraction Hooke law
+            raise SystemExit("--vti rides --impl merged/fused/einsum")
         if impl == "auto" and args.scheme == "lf" and on_tpu:
             from seigen_tpu.ops.structured_exchange import detect_structured
 
             exch = detect_structured(dm)
             if exch is None:
-                impl = "lane_u"
+                impl = "einsum" if aniso_C is not None else "lane_u"
+            elif args.order == 4 and dim == 3:
+                # merged v3 exchange-in-kernel pipeline is the 3D flagship
+                # (BENCH_NOTES round 3); falls back to fused below if the
+                # mesh violates its window constraints
+                impl = "merged"
             else:
-                # fused (trace-emitting) pipeline wins in 3D; in 2D the v1
-                # lane path measures slightly faster (BENCH_NOTES)
-                impl = ("fused" if args.order == 4 and dim == 3
-                        else "lane")
+                # in 2D the v1 lane path measures slightly faster than v2
+                # (BENCH_NOTES); aniso needs the v2/v3 stress kernels
+                impl = "einsum" if aniso_C is not None else "lane"
         if impl in ("lane", "fused", "merged", "lane_u") and (
                 args.scheme == "lf"):
             from seigen_tpu.ops.structured_exchange import detect_structured
@@ -369,16 +376,23 @@ def main():
                     from seigen_tpu.solver.lane_merged import (
                         MergedLaneRunner)
 
-                    runner = MergedLaneRunner(
-                        p, exch, dt, order=args.order, src=src, damp=damp,
-                        receivers=rcv, interpret=interp)
-                elif impl == "fused":
+                    try:
+                        runner = MergedLaneRunner(
+                            p, exch, dt, order=args.order, src=src,
+                            damp=damp, receivers=rcv, interpret=interp,
+                            stiffness=aniso_C)
+                    except ValueError:
+                        if args.impl != "auto":
+                            raise
+                        impl = "fused"  # window constraints: v2 fallback
+                if runner is None and impl == "fused":
                     from seigen_tpu.solver.lane_fused import FusedLaneRunner
 
                     runner = FusedLaneRunner(
                         p, exch, dt, order=args.order, src=src, damp=damp,
-                        receivers=rcv, interpret=interp)
-                else:
+                        receivers=rcv, interpret=interp,
+                        stiffness=aniso_C)
+                elif runner is None:
                     from seigen_tpu.solver.lane_major import LaneMajorRunner
 
                     runner = LaneMajorRunner(

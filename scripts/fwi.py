@@ -51,9 +51,13 @@ def main():
     ap.add_argument("--T", type=float, default=1.2)
     ap.add_argument("--segment", type=int, default=None,
                     help="jax.checkpoint segment length (adjoint memory)")
-    ap.add_argument("--batch", choices=["vmap", "map"], default="vmap",
+    ap.add_argument("--batch", choices=["vmap", "map", "host"],
+                    default="vmap",
                     help="shot batching: 'map' compiles one shot body "
-                         "(S x smaller program; use for big 3D runs)")
+                         "(S x smaller program); 'host' loops shots on "
+                         "host — required for big 3D runs on this host's "
+                         "TPU service, which faults batched-shot programs "
+                         "at E~83k (BENCH_NOTES round 3)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None,
@@ -168,10 +172,14 @@ def main():
 
     # observed data from the true model
     p_true = with_material(p0, vp=vp_true)
-    _, observed = jax.jit(lambda p: run_shots(
+    fwd = lambda p: run_shots(  # noqa: E731
         p, st0, dt, n_steps, shots, receivers=rcv, damp=damp,
         segment=args.segment, vel_op=vel_op, stress_op=stress_op,
-        batch=args.batch))(p_true)
+        batch=args.batch)
+    # host mode jits per shot internally; jitting the loop would rebuild
+    # the faulting batched program
+    _, observed = (fwd(p_true) if args.batch == "host"
+                   else jax.jit(fwd)(p_true))
     observed = jax.block_until_ready(observed)
     print(f"setup+observed: {time.perf_counter() - t_setup:.1f} s",
           flush=True)

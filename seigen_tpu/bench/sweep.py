@@ -35,8 +35,8 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
             with timer.region("run"):
                 impl_used = impl
                 if impl == "auto":
-                    for cand in ("fused", "lane", "pallas_roll", "xla_roll",
-                                 "einsum"):
+                    for cand in ("merged", "fused", "lane", "pallas_roll",
+                                 "xla_roll", "einsum"):
                         try:
                             res = measure(p, src, damp, dt, state0,
                                           n_steps=n_steps, order=order,

@@ -124,6 +124,26 @@ def choose_block(NC: int, prefer=(768, 1024, 512, 1536, 384, 256)) -> int:
     return 128
 
 
+VMEM_BLOCK_BUDGET = 12 * 1024 * 1024  # bytes; scoped-vmem limit is ~16 MB
+
+BLOCK_LADDER = (1536, 1024, 768, 512, 384, 256, 128)
+
+
+def vmem_block_rows(d: FusedOpData, plan) -> int:
+    """Conservative per-lane-block VMEM row count of the heaviest merged
+    kernel: state + axpy pair + outputs (bounded by 4 full fields), damp,
+    geo, mask, the windowed trace reads, and the trace output block.
+
+    Used by the runners to cap the lane block: at P4 (npp=40, rtf=48) the
+    default 768 block exceeds Mosaic's ~16 MB scoped-vmem stack limit
+    (measured: 19.48 M requested), so the chooser steps down BLOCK_LADDER
+    until rows * bx * 4 B * 2 (double buffering) fits VMEM_BLOCK_BUDGET.
+    """
+    nslot = max((len(s) for s in plan.slots), default=0)
+    return (4 * (d.dim + d.n_sig) * d.npp + d.npp + d.geo.shape[0] + 8
+            + nslot * plan.rtf + plan.nf * plan.rtf)
+
+
 def build_merged_plan(ex, d: FusedOpData, bx: int,
                       G0loc: int | None = None, halo: bool = False,
                       pay: int | None = None):

@@ -89,14 +89,23 @@ class ShardedFusedRunner:
         self.E = E
         self.m = ex.m
 
-        bx = choose_block(self.NCloc) if block is None else block
-        self.block = bx
         damp_arr = None if damp is None else np.asarray(damp)
         d = build_fused_data(p, stiffness=stiffness)
-        plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=True)
-        if plan is None:
-            raise ValueError("mesh does not satisfy the merged-kernel "
-                             "constraints (see build_merged_plan)")
+        from ..ops.merged_kernels import (
+            BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
+
+        bx = choose_block(self.NCloc) if block is None else block
+        while True:
+            plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=True)
+            if plan is None:
+                raise ValueError("mesh does not satisfy the merged-kernel "
+                                 "constraints (see build_merged_plan)")
+            if block is not None or bx <= 128:
+                break
+            if vmem_block_rows(d, plan) * bx * 8 <= VMEM_BLOCK_BUDGET:
+                break
+            bx = max(b for b in BLOCK_LADDER if b < bx)
+        self.block = bx
         self.plan = plan
 
         devices = (

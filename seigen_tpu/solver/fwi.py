@@ -190,6 +190,40 @@ def invert(
 
         return loss
 
+    def make_vg_host(taps):
+        """batch='host' gradient: ONE jitted per-shot value_and_grad,
+        accumulated over shots on host — S short device executions
+        (the axon TPU service faults batched-shot programs at E~83k,
+        see solver/shots.py run_shots batch='host')."""
+        from .adjoint import run_segmented
+
+        obs = observed if taps is None else lowpass(observed, taps, axis=1)
+
+        def loss_one(th, shot, obs_s):
+            p = with_material(p0, **th)
+            _, seis = run_segmented(
+                p, state0, dt, n_steps, segment=segment, order=order,
+                src=shot, damp=damp, receivers=receivers,
+                vel_op=vel_op, stress_op=stress_op)
+            if taps is not None:
+                seis = lowpass(seis, taps, axis=0)
+            r = seis - obs_s
+            return 0.5 * jnp.sum(r * r)
+
+        vg_one = jax.jit(jax.value_and_grad(loss_one))
+
+        def vg(th):
+            tot_v, tot_g = 0.0, None
+            for i in range(shots.elems.shape[0]):
+                shot_i = jax.tree.map(lambda x, i=i: x[i], shots)
+                v, g = vg_one(th, shot_i, obs[i])
+                tot_v += float(v)
+                tot_g = (g if tot_g is None
+                         else jax.tree.map(jnp.add, tot_g, g))
+            return tot_v, tot_g
+
+        return vg
+
     misfits: list = []
     band_log: list = []
     t_start = time.perf_counter()
@@ -197,9 +231,14 @@ def invert(
         taps = (None if fc is None
                 else lowpass_taps(dt, float(fc), dtype=dtype))
         loss = make_loss(taps)
-        vg = jax.jit(jax.value_and_grad(loss))
+        vg = (make_vg_host(taps) if batch == "host"
+              else jax.jit(jax.value_and_grad(loss)))
 
         if optimizer == "lbfgs":
+            if batch == "host":
+                raise ValueError("optimizer='lbfgs' needs a jittable "
+                                 "batched loss (use batch='vmap'/'map', "
+                                 "or optimizer='adam' with batch='host')")
             # optax L-BFGS carries value/grad in its state for the zoom
             # linesearch; gradient smoothing would make them inconsistent,
             # so L-BFGS runs on raw gradients (its inverse-Hessian builds

@@ -92,8 +92,6 @@ class MergedLaneRunner:
 
         NC = int(np.prod(ex.grid))
         self.NC = NC
-        bx = choose_block(NC) if block is None else block
-        self.block = bx
 
         E = p.Ginv.shape[0]
         old_of_new, new_of_old = class_major_perm(ex, E)
@@ -102,10 +100,23 @@ class MergedLaneRunner:
         damp_perm = None if damp is None else np.asarray(damp)[old_of_new]
         d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
         self.E = E
-        plan = build_merged_plan(ex, d, bx, pay=pay)
-        if plan is None:
-            raise ValueError("mesh does not satisfy the merged-kernel "
-                             "constraints (see build_merged_plan)")
+        from ..ops.merged_kernels import (
+            BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
+
+        bx = choose_block(NC) if block is None else block
+        while True:
+            plan = build_merged_plan(ex, d, bx, pay=pay)
+            if plan is None:
+                raise ValueError("mesh does not satisfy the merged-kernel "
+                                 "constraints (see build_merged_plan)")
+            if block is not None or bx <= 128:
+                break
+            # cap the block below Mosaic's scoped-vmem stack limit (P4's
+            # 40-row tiles overflow at 768: see vmem_block_rows)
+            if vmem_block_rows(d, plan) * bx * 8 <= VMEM_BLOCK_BUDGET:
+                break
+            bx = max(b for b in BLOCK_LADDER if b < bx)
+        self.block = bx
         self.plan = plan
 
         import dataclasses as _dc

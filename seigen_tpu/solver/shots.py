@@ -97,7 +97,11 @@ def run_shots(
     when it fits); "map" compiles ONE shot body and lax.map's over the
     shot axis — same results, ~S x smaller XLA program and peak memory
     (the degraded remote-compile service on this host times out on large
-    vmapped+checkpointed programs, BENCH_NOTES round 3).
+    vmapped+checkpointed programs, BENCH_NOTES round 3); "host" jits the
+    per-shot program ONCE and loops shots on host — S short device
+    executions instead of one long one (the axon TPU service faults
+    batched-shot programs at E~83k with UNAVAILABLE, BENCH_NOTES round 3;
+    do NOT wrap the call in jax.jit in this mode).
     """
 
     def one(shot_src):
@@ -106,6 +110,17 @@ def run_shots(
             src=shot_src, damp=damp, receivers=receivers,
             vel_op=vel_op, stress_op=stress_op)
 
+    if batch == "host":
+        one_j = jax.jit(one)
+        outs = [
+            one_j(jax.tree.map(lambda x, i=i: x[i], shots))
+            for i in range(shots.elems.shape[0])
+        ]
+        final = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[o[0] for o in outs])
+        seis = (jnp.stack([o[1] for o in outs])
+                if outs[0][1] is not None else None)
+        return final, seis
     if batch == "map":
         return jax.lax.map(one, shots)
     return jax.vmap(one)(shots)

@@ -139,6 +139,24 @@ def test_explosive_source_cli_vti(tmp_path):
     assert np.all(np.isfinite(sa)) and np.abs(sa).max() > 1e-12
 
 
+def test_explosive_source_cli_vti_merged(tmp_path):
+    """--vti through the v3 merged lane kernels (round-2 verdict item 3:
+    anisotropy on the fast path) matches the aniso einsum oracle."""
+    out_m = str(tmp_path / "m.npz")
+    out_e = str(tmp_path / "e.npz")
+    common = ["scripts/explosive_source.py", "--dim", "3", "--n", "4",
+              "--degree", "1", "--T", "0.15", "--cpu",
+              "--vti", "0.25,0.1,0.3"]
+    rm = run_cli(common + ["--impl", "merged", "--out", out_m])
+    assert rm.returncode == 0, rm.stdout + rm.stderr
+    assert "impl: merged" in rm.stdout
+    re_ = run_cli(common + ["--impl", "einsum", "--out", out_e])
+    assert re_.returncode == 0, re_.stdout + re_.stderr
+    np.testing.assert_allclose(
+        np.load(out_m)["seismograms"], np.load(out_e)["seismograms"],
+        rtol=2e-4, atol=1e-7)
+
+
 def test_explosive_source_cli_visco_resume(tmp_path):
     """Viscoelastic checkpoint/resume: memory variables ride the
     checkpoint (extras), so the resumed run matches the uninterrupted one

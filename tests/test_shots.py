@@ -155,3 +155,42 @@ def test_lax_map_batching_matches_vmap():
                                rtol=1e-12, atol=1e-18)
     np.testing.assert_allclose(np.asarray(f_v.u), np.asarray(f_m.u),
                                rtol=1e-12, atol=1e-18)
+
+
+def test_host_batching_matches_vmap():
+    """batch='host' (per-shot jit + host loop — the workaround for the
+    axon service faulting batched-shot programs at E~83k) matches vmap."""
+    dm, p, dt, st, rcv, shot_list = _setup()
+    shots = stack_shots(shot_list)
+    n = 12
+    f_v, s_v = jax.jit(
+        lambda p, st: run_shots(p, st, dt, n, shots, receivers=rcv,
+                                batch="vmap"))(p, st)
+    f_h, s_h = run_shots(p, st, dt, n, shots, receivers=rcv, batch="host")
+    np.testing.assert_allclose(np.asarray(s_v), np.asarray(s_h),
+                               rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(np.asarray(f_v.u), np.asarray(f_h.u),
+                               rtol=1e-12, atol=1e-18)
+
+
+def test_invert_host_batch_matches_vmap():
+    """invert(batch='host') accumulates per-shot gradients to the same
+    trajectory as the vmapped loss (adam, 3 iterations)."""
+    from seigen_tpu.solver.fwi import invert
+
+    dm, p, dt, st, rcv, shot_list = _setup()
+    shots = stack_shots(shot_list)
+    n = 12
+    cent = np.asarray(dm.coords.mean(axis=1))
+    anom = -0.2 * np.exp(-np.sum((cent - 0.5) ** 2, axis=1) / 0.05)
+    p_true = with_material(p, vp=jnp.asarray(2.0 + anom))
+    _, obs = jax.jit(
+        lambda pp: run_shots(pp, st, dt, n, shots, receivers=rcv))(p_true)
+
+    kw = dict(fields=("vp",), optimizer="adam", lr=0.02, iters=3,
+              smooth_iters=1)
+    r_v = invert(p, st, dt, n, shots, rcv, obs, batch="vmap", **kw)
+    r_h = invert(p, st, dt, n, shots, rcv, obs, batch="host", **kw)
+    np.testing.assert_allclose(r_h.misfits, r_v.misfits, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_h.theta["vp"]),
+                               np.asarray(r_v.theta["vp"]), rtol=1e-9)
