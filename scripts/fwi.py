@@ -66,6 +66,12 @@ def main():
 
     import jax
 
+    # fresh XLA compiles through the axon tunnel can take ~14 min
+    # (BENCH_NOTES round 3); persist them so retries after transient
+    # TPU UNAVAILABLE faults don't pay the compile again.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.f64:

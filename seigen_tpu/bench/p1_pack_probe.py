@@ -226,6 +226,9 @@ def unpack_state(y, m, C, E):
 def main(E=196608, n_steps=300, block=512):
     import time
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ..mesh import box_mesh, build_discrete
     from ..ops import Material, build_params
     from ..ops.fused_kernels import build_fused_data, vel2_op
@@ -251,7 +254,9 @@ def main(E=196608, n_steps=300, block=512):
 
     sig_p, tr_p = pack_state(sig, 4), pack_traces(trc)
 
-    def chain(op, sig0, tr0, cat_rows):
+    def make_chain(op, cat_rows):
+        """ONE jitted scan per impl — re-jitting per timed call would bill
+        a fresh remote compile into every measurement (~100 ms/op noise)."""
         def body(carry, _):
             s, t = carry
             u, to = op(s, t)
@@ -262,18 +267,20 @@ def main(E=196608, n_steps=300, block=512):
             (s, t), _ = jax.lax.scan(body, (s, t), None, length=n_steps)
             return s
 
-        return jax.jit(go)(jnp.asarray(sig0), jnp.asarray(tr0))
+        return jax.jit(go)
 
     opA = lambda s, t: vel2_op(d, s, t, block=block)  # noqa: E731
     opB = lambda s, t: packed_vel_op(tables, s, t, block=block)  # noqa
 
     for name, op, s0, t0, cr in (("padded", opA, sig_lm, tr_lm, 2),
                                  ("packed", opB, sig_p, tr_p, 2)):
-        jax.block_until_ready(chain(op, s0, t0, cr))  # compile
+        go = make_chain(op, cr)
+        s0, t0 = jnp.asarray(s0), jnp.asarray(t0)
+        jax.block_until_ready(go(s0, t0))  # compile
         best = np.inf
         for _ in range(3):
             t1 = time.perf_counter()
-            jax.block_until_ready(chain(op, s0, t0, cr))
+            jax.block_until_ready(go(s0, t0))
             best = min(best, (time.perf_counter() - t1) / n_steps)
         print(f"{name}: {best * 1e3:.3f} ms/op at E={E} "
               f"({E * 4 * 9 / best / 1e9:.2f} GDOF/s-equivalent/op)")
