@@ -58,6 +58,12 @@ def main():
                          "host — required for big 3D runs on this host's "
                          "TPU service, which faults batched-shot programs "
                          "at E~83k (BENCH_NOTES round 3)")
+    ap.add_argument("--grad-path", choices=["roll", "lane"], default="roll",
+                    help="gradient formulation: 'roll' = AD through the "
+                         "roll-exchange einsum step; 'lane' = energy-"
+                         "conjugation custom VJPs through the Pallas lane "
+                         "kernels (solver/lane_diff.py) — forward AND "
+                         "adjoint sweeps at lane-kernel rate")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None,
@@ -168,25 +174,43 @@ def main():
     st0 = State(u=jnp.zeros((E, n_p, args.dim), dtype),
                 s=jnp.zeros((E, n_p, 3 * (args.dim - 1)), dtype))
 
-    # gradients ride the structured roll exchange when available
+    # gradient formulation
     ex = detect_structured(dm)
     vel_op = stress_op = None
-    if ex is not None:
+    ldf = None
+    if args.grad_path == "lane":
+        if ex is None:
+            raise SystemExit("--grad-path lane needs a structured mesh")
+        from seigen_tpu.solver.lane_diff import LaneDiffFwi
+
+        ldf = LaneDiffFwi(
+            p0, dm, ex, dt, n_steps, shots, rcv, None, damp=damp,
+            segment=args.segment,
+            interpret=jax.devices()[0].platform == "cpu")
+        grad_ops = "lane_diff"
+    elif ex is not None:
         vel_op, stress_op = make_structured_ops(p0, ex)
+        grad_ops = "xla_roll"
+    else:
+        grad_ops = "einsum"
     print(f"E={E} steps={n_steps} shots={args.shots} f0={f0:.1f} "
-          f"grad_ops={'xla_roll' if ex is not None else 'einsum'}")
+          f"grad_ops={grad_ops}")
 
     # observed data from the true model
-    p_true = with_material(p0, vp=vp_true)
-    fwd = lambda p: run_shots(  # noqa: E731
-        p, st0, dt, n_steps, shots, receivers=rcv, damp=damp,
-        segment=args.segment, vel_op=vel_op, stress_op=stress_op,
-        batch=args.batch)
-    # host mode jits per shot internally; jitting the loop would rebuild
-    # the faulting batched program
-    _, observed = (fwd(p_true) if args.batch == "host"
-                   else jax.jit(fwd)(p_true))
-    observed = jax.block_until_ready(observed)
+    if ldf is not None:
+        observed = ldf.synth({"vp": vp_true})
+        ldf.observed = observed
+    else:
+        p_true = with_material(p0, vp=vp_true)
+        fwd = lambda p: run_shots(  # noqa: E731
+            p, st0, dt, n_steps, shots, receivers=rcv, damp=damp,
+            segment=args.segment, vel_op=vel_op, stress_op=stress_op,
+            batch=args.batch)
+        # host mode jits per shot internally; jitting the loop would
+        # rebuild the faulting batched program
+        _, observed = (fwd(p_true) if args.batch == "host"
+                       else jax.jit(fwd)(p_true))
+        observed = jax.block_until_ready(observed)
     print(f"setup+observed: {time.perf_counter() - t_setup:.1f} s",
           flush=True)
 
@@ -203,6 +227,7 @@ def main():
         iters=args.iters, bands=bands, smooth_iters=args.smooth,
         bounds={"vp": (lo, hi)}, damp=damp, segment=args.segment,
         vel_op=vel_op, stress_op=stress_op, batch=args.batch,
+        vg_factory=None if ldf is None else ldf.vg_factory,
         log=lambda s: print(s, flush=True))
 
     vp0 = jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho)

@@ -105,30 +105,33 @@ def build_pallas_data(p: ElasticParams) -> PallasOpData:
     E = p.Ginv.shape[0]
     dt = p.Ginv.dtype
 
-    Dr = np.zeros((dim * npp, npp), dtype=np.float32)
+    # Host tables assembled in f64 and cast to the params dtype at the
+    # end: with f64 params (the test suite, adjoint exactness checks)
+    # an f32 intermediate would truncate the tables.
+    Dr = np.zeros((dim * npp, npp), dtype=np.float64)
     for r in range(dim):
         Dr[r * npp : r * npp + n_p, :n_p] = np.asarray(p.Dr[r])
-    LIFT = np.zeros((npp, ftpp), dtype=np.float32)
+    LIFT = np.zeros((npp, ftpp), dtype=np.float64)
     LIFT[:n_p, :ftp] = np.asarray(p.LIFT)
     fn = np.array(p.fnodes).reshape(-1)
-    R = np.zeros((ftpp, npp), dtype=np.float32)
+    R = np.zeros((ftpp, npp), dtype=np.float64)
     R[np.arange(ftp), fn] = 1.0
 
     # expand per-face geometry to face-node rows (f*n_fp + k ordering)
     rep = np.repeat(np.arange(p.n_faces), p.n_fp)
 
     def expand(a):  # (E, n_faces) -> (ftpp, E)
-        out = np.zeros((ftpp, E), dtype=np.float32)
+        out = np.zeros((ftpp, E), dtype=np.float64)
         out[:ftp] = np.asarray(a)[:, rep].T
         return out
 
-    nrm = np.zeros((dim * ftpp, E), dtype=np.float32)
+    nrm = np.zeros((dim * ftpp, E), dtype=np.float64)
     for d in range(dim):
         nrm[d * ftpp : d * ftpp + ftp] = np.asarray(
             p.normals[:, :, d])[:, rep].T
 
     def scalar_rows(a):  # (E,) -> (8, E)
-        out = np.zeros((8, E), dtype=np.float32)
+        out = np.zeros((8, E), dtype=np.float64)
         out[0] = np.asarray(a)
         return out
 
@@ -188,9 +191,12 @@ def _pad_lanes(x, block):
 
 
 def _dot(a, b):
+    # f32 accumulation for f32/bf16 inputs (the TPU MXU path); f64 inputs
+    # (interpret-mode exactness tests, adjoint transpose checks) keep f64.
+    pet = a.dtype if a.dtype == jnp.float64 else jnp.float32
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=pet)
 
 
 def _vel_kernel(dim, n_sig, npp, ftpp,

@@ -132,6 +132,7 @@ def invert(
     stress_op=None,
     batch: str = "vmap",
     theta0: dict | None = None,
+    vg_factory=None,
     log=None,
 ) -> FwiResult:
     """Multi-stage FWI: for each band (low -> full), minimize the
@@ -231,14 +232,20 @@ def invert(
         taps = (None if fc is None
                 else lowpass_taps(dt, float(fc), dtype=dtype))
         loss = make_loss(taps)
-        vg = (make_vg_host(taps) if batch == "host"
-              else jax.jit(jax.value_and_grad(loss)))
+        if vg_factory is not None:
+            # e.g. solver.lane_diff.LaneDiffFwi.vg_factory — gradients
+            # through the Pallas lane kernels via energy-conjugation VJPs
+            vg = vg_factory(taps)
+        else:
+            vg = (make_vg_host(taps) if batch == "host"
+                  else jax.jit(jax.value_and_grad(loss)))
 
         if optimizer == "lbfgs":
-            if batch == "host":
+            if batch == "host" or vg_factory is not None:
                 raise ValueError("optimizer='lbfgs' needs a jittable "
                                  "batched loss (use batch='vmap'/'map', "
-                                 "or optimizer='adam' with batch='host')")
+                                 "or optimizer='adam' with batch='host' "
+                                 "or a vg_factory)")
             # optax L-BFGS carries value/grad in its state for the zoom
             # linesearch; gradient smoothing would make them inconsistent,
             # so L-BFGS runs on raw gradients (its inverse-Hessian builds

@@ -1,0 +1,226 @@
+"""Differentiable lane path (solver/lane_diff.py): transpose exactness of
+the energy-conjugation custom VJPs and end-to-end FWI-gradient equivalence
+against plain AD through the einsum step (interpret mode, f64)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seigen_tpu.mesh import box_mesh, build_discrete, rect_mesh
+from seigen_tpu.ops import Material, build_params
+from seigen_tpu.ops.structured_exchange import detect_structured
+from seigen_tpu.solver import (
+    PointSource,
+    State,
+    absorbing_bc_fn,
+    build_receivers,
+    build_sources,
+    cfl_dt,
+    line,
+    sponge_mask,
+)
+from seigen_tpu.solver.adjoint import make_fwi_gradient
+from seigen_tpu.solver.lane_diff import LaneDiffFwi
+from seigen_tpu.solver.shots import stack_shots
+
+
+def _setup_2d(n=4, degree=2, het=True, seed=0):
+    rng = np.random.default_rng(seed)
+    extents = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        rect_mesh(n, n), degree,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[(1, "hi")]))
+    E = dm.num_elements
+    if het:
+        rho = 1.0 + rng.random(E)
+        vp = 2.0 + rng.random(E)
+        vs = 0.8 + 0.4 * rng.random(E)
+    else:
+        rho, vp, vs = np.full(E, 1.2), np.full(E, 2.0), np.full(E, 1.0)
+    p = build_params(dm, Material(rho=rho, vp=vp, vs=vs),
+                     dtype=jnp.float64)
+    ex = detect_structured(dm)
+    assert ex is not None
+    return dm, p, ex
+
+
+def test_custom_vjp_transpose_exact_2d():
+    """<ubar, A sig> == <A^T ubar, sig> (and B) through jax.vjp on the
+    custom ops — the exactness reverse-mode relies on, mixed BCs."""
+    rng = np.random.default_rng(3)
+    dm, p, ex = _setup_2d()
+    ldf = LaneDiffFwi(p, dm, ex, 1e-3, 2,
+                      stack_shots([_point_src(dm)]), _rcv(dm), None,
+                      block=8, interpret=True)
+    r = ldf.runner
+    d = r.d
+    E, E_pad, npp, n_p = r.E, r.E_pad, d.npp, d.n_p
+
+    def zpad(x, C):
+        xr = x.reshape(C, npp, E_pad).copy()
+        xr[:, n_p:, :] = 0
+        xr[:, :, E:] = 0
+        return jnp.asarray(xr.reshape(C * npp, E_pad))
+
+    sig = zpad(rng.random((3 * npp, E_pad)), 3)
+    u = zpad(rng.random((2 * npp, E_pad)), 2)
+    ubar = zpad(rng.random((2 * npp, E_pad)), 2)
+    ebar = zpad(rng.random((3 * npp, E_pad)), 3)
+
+    out, vjp = jax.vjp(lambda s: ldf.A(d, ldf.w, s), sig)
+    lhs = jnp.vdot(ubar, out)
+    rhs = jnp.vdot(vjp(ubar)[0], sig)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-11)
+
+    out, vjp = jax.vjp(lambda uu: ldf.B(d, ldf.w, uu), u)
+    lhs = jnp.vdot(ebar, out)
+    rhs = jnp.vdot(vjp(ebar)[0], u)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-11)
+
+
+def _point_src(dm, pos=None, f0=10.0, t0=0.04):
+    dim = dm.dim
+    if pos is None:
+        pos = (0.45, 0.6) if dim == 2 else (0.45, 0.5, 0.6)
+    return build_sources(
+        dm, [PointSource(position=pos, f0=f0, t0=t0, amplitude=100.0,
+                         radius=2.5 * float(dm.h.max()))],
+        dtype=jnp.float64)
+
+
+def _rcv(dm, R=3):
+    if dm.dim == 2:
+        pts = line((0.2, 0.85), (0.8, 0.85), R)
+    else:
+        pts = line((0.2, 0.5, 0.85), (0.8, 0.5, 0.85), R)
+    return build_receivers(dm, pts, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_fwi_gradient_matches_einsum_ad(order):
+    """Full lane-path value_and_grad == plain reverse-mode AD through the
+    einsum step: heterogeneous material, source, receivers, damping."""
+    dm, p0, ex = _setup_2d(het=True, seed=1)
+    E, n_p = dm.num_elements, dm.re.n_p
+    dt = cfl_dt(float(dm.h.min()), 3.0, 2, 0.3)
+    n_steps = 12
+    src = _point_src(dm)
+    rcv = _rcv(dm)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+        jnp.float64)
+
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, order=order, damp=damp, block=8,
+                      interpret=True)
+    # observed from a perturbed model so residuals correlate with the field
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.07)})
+    ldf.observed = observed
+
+    st0 = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+                s=jnp.zeros((E, n_p, 3), jnp.float64))
+    vg_ref, init_theta = make_fwi_gradient(
+        p0, st0, dt, n_steps, src, rcv, jnp.asarray(observed[0]),
+        fields=("vp", "vs", "rho"), order=order, damp=damp)
+    theta = init_theta()
+    v_ref, g_ref = vg_ref(theta)
+
+    v_lane, g_lane = ldf.vg_factory(None)(theta)
+    assert v_ref > 1e-10  # non-degenerate misfit
+    # the two paths re-associate fp arithmetic; the residual (seis - obs)
+    # amplifies the ~1e-13 field-level difference relatively
+    np.testing.assert_allclose(float(v_ref), v_lane, rtol=1e-6)
+    for k in ("vp", "vs", "rho"):
+        scale = np.abs(np.asarray(g_ref[k])).max()
+        assert scale > 0
+        np.testing.assert_allclose(
+            np.asarray(g_lane[k]), np.asarray(g_ref[k]),
+            rtol=1e-5, atol=1e-8 * scale, err_msg=k)
+
+
+def test_segment_checkpointing_invariant():
+    """Checkpointed segments change memory, not the gradient."""
+    dm, p0, ex = _setup_2d(het=False, seed=2)
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 12
+    src, rcv = _point_src(dm), _rcv(dm)
+    theta = None
+    grads = []
+    for seg in (None, 3):
+        ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]),
+                          rcv, None, segment=seg, block=8, interpret=True)
+        vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+        ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.05)})
+        if theta is None:
+            theta = {"vp": jnp.asarray(vp0)}
+        grads.append(ldf.vg_factory(None)(theta))
+    np.testing.assert_allclose(grads[0][0], grads[1][0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grads[0][1]["vp"]),
+                               np.asarray(grads[1][1]["vp"]), rtol=1e-9)
+
+
+def test_fwi_gradient_3d():
+    """3D: lane-path gradient == einsum AD (tiny box, P1)."""
+    dm = build_discrete(
+        box_mesh(2, 2, 2), 1,
+        bc_fn=absorbing_bc_fn(((0.0, 1.0),) * 3, free_sides=[(2, "hi")]))
+    E, n_p = dm.num_elements, dm.re.n_p
+    rng = np.random.default_rng(4)
+    rho = 1.0 + rng.random(E)
+    vp = 2.0 + rng.random(E)
+    vs = 0.8 + 0.4 * rng.random(E)
+    p0 = build_params(dm, Material(rho=rho, vp=vp, vs=vs),
+                      dtype=jnp.float64)
+    ex = detect_structured(dm)
+    assert ex is not None
+    dt = cfl_dt(float(dm.h.min()), 3.0, 1, 0.3)
+    n_steps = 8
+    src, rcv = _point_src(dm, f0=6.0, t0=0.1), _rcv(dm)
+
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.07)})
+
+    st0 = State(u=jnp.zeros((E, n_p, 3), jnp.float64),
+                s=jnp.zeros((E, n_p, 6), jnp.float64))
+    vg_ref, init_theta = make_fwi_gradient(
+        p0, st0, dt, n_steps, src, rcv, jnp.asarray(ldf.observed[0]),
+        fields=("vp",), order=4)
+    theta = init_theta()
+    v_ref, g_ref = vg_ref(theta)
+    v_lane, g_lane = ldf.vg_factory(None)(theta)
+    np.testing.assert_allclose(float(v_ref), v_lane, rtol=1e-6)
+    scale = np.abs(np.asarray(g_ref["vp"])).max()
+    assert scale > 0
+    np.testing.assert_allclose(
+        np.asarray(g_lane["vp"]), np.asarray(g_ref["vp"]),
+        rtol=1e-5, atol=1e-8 * scale)
+
+
+def test_invert_with_lane_vg_reduces_misfit():
+    """solver.fwi.invert plugged with the lane vg_factory descends."""
+    from seigen_tpu.solver.fwi import invert
+
+    dm, p0, ex = _setup_2d(het=False, seed=5)
+    E, n_p = dm.num_elements, dm.re.n_p
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 16
+    src, rcv = _point_src(dm), _rcv(dm, R=4)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    cent = np.asarray(dm.coords.mean(axis=1))
+    anom = -0.25 * np.exp(
+        -np.sum((cent - 0.5) ** 2, axis=1) / (2 * 0.2**2))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 + anom)})
+
+    st0 = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+                s=jnp.zeros((E, n_p, 3), jnp.float64))
+    res = invert(
+        p0, st0, dt, n_steps, stack_shots([src]), rcv,
+        jnp.asarray(ldf.observed), fields=("vp",), optimizer="adam",
+        lr=0.02, iters=6, smooth_iters=1, vg_factory=ldf.vg_factory)
+    assert res.misfits[-1] < res.misfits[0]
