@@ -204,8 +204,10 @@ class LaneDiffFwi:
         damp=None,
         segment: int | None = None,
         block: int | None = None,
-        interpret: bool = False,
+        interpret: bool | None = None,
     ):
+        if interpret is None:  # Pallas on CPU requires interpret mode
+            interpret = jax.devices()[0].platform == "cpu"
         kw = {} if block is None else {"block": block}
         # inversion defaults for fields theta does not carry (threaded as
         # jit arguments — E-sized closure constants would hit the axon
