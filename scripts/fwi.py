@@ -64,6 +64,10 @@ def main():
                          "conjugation custom VJPs through the Pallas lane "
                          "kernels (solver/lane_diff.py) — forward AND "
                          "adjoint sweeps at lane-kernel rate")
+    ap.add_argument("--grad-shards", type=int, default=0,
+                    help="with --grad-path lane: lay the shot axis over "
+                         "this many devices (shot-DP psum'd gradients; "
+                         "0 = host-accumulated per-shot evaluations)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None,
@@ -221,13 +225,23 @@ def main():
     lo = float(np.asarray(vp_true).min()) - 0.3
     hi = float(np.asarray(vp_true).max()) + 0.3
 
+    vg_factory = None
+    if ldf is not None:
+        if args.grad_shards > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[: args.grad_shards]),
+                        ("shot",))
+            vg_factory = ldf.vg_factory_sharded(mesh)
+        else:
+            vg_factory = ldf.vg_factory
     res = invert(
         p0, st0, dt, n_steps, shots, rcv, observed,
         fields=("vp",), optimizer=args.optimizer, lr=lr,
         iters=args.iters, bands=bands, smooth_iters=args.smooth,
         bounds={"vp": (lo, hi)}, damp=damp, segment=args.segment,
         vel_op=vel_op, stress_op=stress_op, batch=args.batch,
-        vg_factory=None if ldf is None else ldf.vg_factory,
+        vg_factory=vg_factory,
         log=lambda s: print(s, flush=True))
 
     vp0 = jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho)

@@ -414,6 +414,71 @@ class LaneDiffFwi:
 
         return vg
 
+    def vg_factory_sharded(self, mesh=None):
+        """Shot-data-parallel vg over a ``jax.sharding.Mesh``.
+
+        Returns ``taps -> vg(theta)`` like :meth:`vg_factory`, but the
+        shot axis is laid over the mesh's ``"shot"`` axis: every device
+        runs the forward+adjoint lane sweeps of its own shots and the
+        (value, grad) are ``psum``-reduced — FWI's data parallelism is
+        BY SHOT (each shot is an independent wave propagation), so this
+        is the scaling axis that needs no halo exchange at all.
+        n_shots must be divisible by the mesh size (pad acquisition with
+        repeated shots and drop duplicates from the misfit if needed).
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("shot",))
+        nd = mesh.shape["shot"]
+        if self.n_shots % nd:
+            raise ValueError(
+                f"n_shots {self.n_shots} not divisible by mesh {nd}")
+        if self.observed is None:
+            raise ValueError("observed data not set")
+        r = self.runner
+        rep = P()
+
+        def factory(taps):
+            obs = jnp.asarray(self.observed, self.dtype)
+            if taps is not None:
+                from .fwi import lowpass
+                obs = lowpass(obs, taps, axis=1)
+
+            def local_loss(theta, defaults, dd, ww, aux, src_l, obs_l):
+                def one(args):
+                    src_k, obs_k = args
+                    return self._loss_one(theta, defaults, dd, ww, aux,
+                                          src_k, obs_k, taps)
+
+                vals = jax.lax.map(one, (src_l, obs_l))
+                return jnp.sum(vals)
+
+            @partial(
+                shard_map, mesh=mesh,
+                in_specs=(rep, rep, rep, rep, rep,
+                          jax.tree.map(lambda _: P("shot"), self.src),
+                          P("shot")),
+                out_specs=(rep, rep),
+                check_rep=False)
+            def vg_shard(theta, defaults, dd, ww, aux, src_l, obs_l):
+                v, g = jax.value_and_grad(local_loss)(
+                    theta, defaults, dd, ww, aux, src_l, obs_l)
+                return (jax.lax.psum(v, "shot"),
+                        jax.tree.map(lambda x: jax.lax.psum(x, "shot"), g))
+
+            fn = jax.jit(vg_shard)
+
+            def vg(theta):
+                v, g = fn(theta, self._theta0, r.d, self.w, r._aux(),
+                          self.src, obs)
+                return float(v), g
+
+            return vg
+
+        return factory
+
     def loss_shot(self, theta, k: int, taps=None):
         """Single-shot misfit (no grad) — test/diagnostic surface."""
         r = self.runner

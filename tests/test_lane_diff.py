@@ -224,3 +224,28 @@ def test_invert_with_lane_vg_reduces_misfit():
         jnp.asarray(ldf.observed), fields=("vp",), optimizer="adam",
         lr=0.02, iters=6, smooth_iters=1, vg_factory=ldf.vg_factory)
     assert res.misfits[-1] < res.misfits[0]
+
+
+def test_vg_sharded_matches_host():
+    """Shot-DP gradient over an 8-device mesh == host-accumulated vg."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dm, p0, ex = _setup_2d(het=False, seed=7)
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 8
+    srcs = [_point_src(dm, pos=(0.15 + 0.1 * k, 0.6)) for k in range(8)]
+    rcv = _rcv(dm)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots(srcs), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.05)})
+    theta = {"vp": jnp.asarray(vp0)}
+
+    v_host, g_host = ldf.vg_factory(None)(theta)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shot",))
+    v_sh, g_sh = ldf.vg_factory_sharded(mesh)(None)(theta)
+    np.testing.assert_allclose(v_sh, v_host, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_sh["vp"]),
+                               np.asarray(g_host["vp"]), rtol=1e-8)
