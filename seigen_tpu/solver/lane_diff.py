@@ -49,6 +49,13 @@ applications (one kernel each) plus the checkpoint recompute — the whole
 gradient is ~3x a forward run, ALL at lane speed, vs the einsum path's
 ~30x-slower sweeps.  Measured rates in BENCH_NOTES.md ("FWI gradient
 path", round 3).
+
+Memory: the step is LINEAR in the state, so transposing it needs no
+forward states — reverse-mode stores only the per-step material-
+correlation panels (jaxpr-verified): inverting vp alone stacks just the
+3 strain-trace rows (npp, E_pad) per step (lam is the only vp-dependent
+coefficient); adding vs/rho stores the strain / A(sigma) panels too.
+``segment`` (jax.checkpoint chunks) bounds either case.
 """
 
 from __future__ import annotations
