@@ -249,3 +249,40 @@ def test_vg_sharded_matches_host():
     np.testing.assert_allclose(v_sh, v_host, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g_sh["vp"]),
                                np.asarray(g_host["vp"]), rtol=1e-8)
+
+
+def test_taps_gradient_finite_difference():
+    """Low-passed misfit gradient (frequency-continuation path) checked
+    against a central finite difference of the same lane loss."""
+    from seigen_tpu.solver.fwi import lowpass, lowpass_taps
+
+    dm, p0, ex = _setup_2d(het=False, seed=9)
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 12
+    src, rcv = _point_src(dm), _rcv(dm)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.06)})
+    taps = lowpass_taps(dt, 8.0, dtype=jnp.float64)
+
+    theta = {"vp": jnp.asarray(vp0)}
+    vg = ldf.vg_factory(taps)
+    v0, g = vg(theta)
+
+    # value must equal the filtered misfit computed from synth directly
+    syn = ldf.synth(theta)
+    d = (np.asarray(lowpass(jnp.asarray(syn[0]), taps, axis=0))
+         - np.asarray(lowpass(jnp.asarray(ldf.observed[0]), taps, axis=0)))
+    np.testing.assert_allclose(v0, 0.5 * np.sum(d * d), rtol=1e-9)
+
+    # directional FD through the full filtered scan
+    rng = np.random.default_rng(0)
+    dvec = rng.standard_normal(dm.num_elements)
+    dvec /= np.abs(dvec).max()
+    eps = 1e-5
+    vp_p = {"vp": jnp.asarray(vp0 + eps * dvec)}
+    vp_m = {"vp": jnp.asarray(vp0 - eps * dvec)}
+    fd = (vg(vp_p)[0] - vg(vp_m)[0]) / (2 * eps)
+    ad = float(np.dot(np.asarray(g["vp"]), dvec))
+    np.testing.assert_allclose(ad, fd, rtol=1e-6)
