@@ -156,3 +156,29 @@ def make_aniso_stress_op(C: jax.Array):
         return vol + surf
 
     return stress_op
+
+
+def vti_stiffness_jnp(vp, vs, rho, epsilon=0.0, delta=0.0, gamma=0.0):
+    """Differentiable twin of :func:`vti_stiffness` (same exact-Thomsen
+    forms, jnp ops): per-element (E,) inputs -> (E, 6, 6) stiffness with
+    gradients flowing to every Thomsen parameter — the material map of
+    anisotropic FWI (solver/lane_diff.py aniso mode)."""
+    vp, vs, rho, epsilon, delta, gamma = jnp.broadcast_arrays(
+        *(jnp.asarray(a) for a in (vp, vs, rho, epsilon, delta, gamma)))
+    C33 = rho * vp * vp
+    C44 = rho * vs * vs
+    C11 = C33 * (1.0 + 2.0 * epsilon)
+    C66 = C44 * (1.0 + 2.0 * gamma)
+    C12 = C11 - 2.0 * C66
+    C13 = jnp.sqrt(
+        2.0 * delta * C33 * (C33 - C44) + (C33 - C44) ** 2) - C44
+    z = jnp.zeros_like(C33)
+    rows = [
+        [C11, C12, C13, z, z, z],
+        [C12, C11, C13, z, z, z],
+        [C13, C13, C33, z, z, z],
+        [z, z, z, C44, z, z],
+        [z, z, z, z, C44, z],
+        [z, z, z, z, z, C66],
+    ]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)

@@ -212,6 +212,8 @@ class LaneDiffFwi:
         segment: int | None = None,
         block: int | None = None,
         interpret: bool | None = None,
+        aniso: str | None = None,
+        theta_defaults: dict | None = None,
     ):
         if interpret is None:  # Pallas on CPU requires interpret mode
             interpret = jax.devices()[0].platform == "cpu"
@@ -224,6 +226,25 @@ class LaneDiffFwi:
             "vs": jnp.sqrt(p0.mu * p0.inv_rho),
             "rho": 1.0 / p0.inv_rho,
         }
+        # aniso="vti" (3D): theta may carry Thomsen epsilon/delta/gamma
+        # per element; the stress material application becomes the full
+        # per-element Voigt C contraction (the custom VJPs are
+        # material-free, so the adjoint machinery is untouched —
+        # anisotropic FWI for free).  Engineering-strain conventions per
+        # ops/anisotropic.py.
+        if aniso not in (None, "vti"):
+            raise ValueError(f"unknown aniso mode {aniso!r}")
+        if aniso == "vti" and p0.dim != 3:
+            raise ValueError("aniso='vti' is 3D")
+        self.aniso = aniso
+        if aniso:
+            E0 = p0.Ginv.shape[0]
+            z = jnp.zeros((E0,), p0.Ginv.dtype)
+            self._theta0.update(epsilon=z, delta=z, gamma=z)
+        if theta_defaults:
+            self._theta0.update({
+                k: jnp.asarray(v, p0.Ginv.dtype)
+                for k, v in theta_defaults.items()})
         self.runner = LaneMajorRunner(
             _material_free(p0), ex, dt, order=order, damp=damp,
             receivers=receivers, interpret=interpret, **kw)
@@ -280,10 +301,19 @@ class LaneDiffFwi:
         vp, vs, rho = full["vp"], full["vs"], full["rho"]
         take = lambda a: jnp.asarray(a, self.dtype)[self._perm]
         vp, vs, rho = take(vp), take(vs), take(rho)
-        mu = rho * vs * vs
-        lam = rho * (vp * vp - 2.0 * vs * vs)
         irho = 1.0 / rho
         pad = lambda a, v: jnp.pad(a, (0, E_pad - E), constant_values=v)[None]
+        if self.aniso == "vti":
+            from ..ops.anisotropic import vti_stiffness_jnp
+
+            C = vti_stiffness_jnp(
+                vp, vs, rho, take(full["epsilon"]), take(full["delta"]),
+                take(full["gamma"]))  # (E, 6, 6) lane order
+            C = jnp.moveaxis(C, 0, -1)  # (6, 6, E)
+            C = jnp.pad(C, ((0, 0), (0, 0), (0, E_pad - E)))
+            return {"C": C.astype(self.dtype), "irho": pad(irho, 1.0)}
+        mu = rho * vs * vs
+        lam = rho * (vp * vp - 2.0 * vs * vs)
         return {"lam": pad(lam, 0.0), "mu": pad(mu, 0.0),
                 "irho": pad(irho, 1.0)}
 
@@ -291,17 +321,31 @@ class LaneDiffFwi:
     def _make_step(self, dd, ww, aux, mrows, src_k):
         d = self.runner.d
         n_sig, npp, dim = d.n_sig, d.npp, d.dim
-        lam, mu, irho = mrows["lam"], mrows["mu"], mrows["irho"]
+        irho = mrows["irho"]
 
         def vel(s_lm):
             return irho * self.A(dd, ww, s_lm)
 
-        def stress(u_lm):
-            eps = self.B(dd, ww, u_lm).reshape(n_sig, npp, -1)
-            tr = jnp.sum(eps[:dim], axis=0)
-            out = 2.0 * mu[None] * eps
-            out = out.at[:dim].add(lam[None] * tr[None])
-            return out.reshape(n_sig * npp, -1)
+        if "C" in mrows:  # full Voigt stiffness (aniso mode)
+            C = mrows["C"]  # (n_sig, n_sig, E_pad)
+            shear2 = jnp.asarray(
+                [1.0] * dim + [2.0] * (n_sig - dim), self.dtype)
+
+            def stress(u_lm):
+                # B' emits TENSOR strain; C expects engineering shears
+                eps = self.B(dd, ww, u_lm).reshape(n_sig, npp, -1)
+                eng = eps * shear2[:, None, None]
+                out = jnp.einsum("pqe,qne->pne", C, eng)
+                return out.reshape(n_sig * npp, -1)
+        else:
+            lam, mu = mrows["lam"], mrows["mu"]
+
+            def stress(u_lm):
+                eps = self.B(dd, ww, u_lm).reshape(n_sig, npp, -1)
+                tr = jnp.sum(eps[:dim], axis=0)
+                out = 2.0 * mu[None] * eps
+                out = out.at[:dim].add(lam[None] * tr[None])
+                return out.reshape(n_sig * npp, -1)
 
         def wavelet(t):
             return src_k["amp"] * ricker(t, src_k["f0"], src_k["t0"])

@@ -286,3 +286,76 @@ def test_taps_gradient_finite_difference():
     fd = (vg(vp_p)[0] - vg(vp_m)[0]) / (2 * eps)
     ad = float(np.dot(np.asarray(g["vp"]), dvec))
     np.testing.assert_allclose(ad, fd, rtol=1e-6)
+
+
+def test_aniso_vti_gradient_matches_einsum_ad():
+    """aniso='vti': lane-path Thomsen-parameter gradients == einsum AD
+    through make_aniso_stress_op, plus a directional FD check."""
+    from seigen_tpu.ops.anisotropic import (make_aniso_stress_op,
+                                            vti_stiffness_jnp)
+    from seigen_tpu.solver.adjoint import run_segmented, with_material
+
+    dm = build_discrete(
+        box_mesh(2, 2, 2), 1,
+        bc_fn=absorbing_bc_fn(((0.0, 1.0),) * 3, free_sides=[(2, "hi")]))
+    E, n_p = dm.num_elements, dm.re.n_p
+    rng = np.random.default_rng(11)
+    rho = 1.0 + rng.random(E)
+    vp = 2.0 + rng.random(E)
+    vs = 0.8 + 0.3 * rng.random(E)
+    p0 = build_params(dm, Material(rho=rho, vp=vp, vs=vs),
+                      dtype=jnp.float64)
+    ex = detect_structured(dm)
+    dt = cfl_dt(float(dm.h.min()), 3.5, 1, 0.25)
+    n_steps = 8
+    src, rcv = _point_src(dm, f0=6.0, t0=0.1), _rcv(dm)
+
+    eps0 = jnp.asarray(0.10 + 0.05 * rng.random(E))
+    del0 = jnp.asarray(0.04 + 0.02 * rng.random(E))
+    gam0 = jnp.asarray(0.08 + 0.04 * rng.random(E))
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True, aniso="vti",
+                      theta_defaults={"epsilon": eps0, "delta": del0,
+                                      "gamma": gam0})
+    ldf.observed = ldf.synth({"epsilon": eps0 * 1.5})
+    theta = {"vp": jnp.asarray(vp), "epsilon": eps0, "delta": del0}
+    v_lane, g_lane = ldf.vg_factory(None)(theta)
+
+    st0 = State(u=jnp.zeros((E, n_p, 3), jnp.float64),
+                s=jnp.zeros((E, n_p, 6), jnp.float64))
+    obs = jnp.asarray(ldf.observed[0])
+
+    def loss_ref(theta):
+        full = {"vs": jnp.asarray(vs), "rho": jnp.asarray(rho),
+                "gamma": gam0, **theta}
+        C = vti_stiffness_jnp(full["vp"], full["vs"], full["rho"],
+                              full["epsilon"], full["delta"],
+                              full["gamma"])
+        so = make_aniso_stress_op(C)
+        p = with_material(p0, vp=full["vp"], vs=full["vs"],
+                          rho=full["rho"])
+        _, seis = run_segmented(p, st0, dt, n_steps, order=4, src=src,
+                                receivers=rcv, stress_op=so)
+        r = seis - obs
+        return 0.5 * jnp.sum(r * r)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(theta)
+    assert float(v_ref) > 1e-12
+    np.testing.assert_allclose(float(v_ref), v_lane, rtol=1e-6)
+    for k in theta:
+        scale = np.abs(np.asarray(g_ref[k])).max()
+        assert scale > 0, k
+        np.testing.assert_allclose(
+            np.asarray(g_lane[k]), np.asarray(g_ref[k]),
+            rtol=1e-5, atol=1e-8 * scale, err_msg=k)
+
+    # directional FD on epsilon through the lane loss
+    dvec = rng.standard_normal(E)
+    dvec /= np.abs(dvec).max()
+    h = 1e-6
+    vg = ldf.vg_factory(None)
+    vpl = dict(theta); vpl["epsilon"] = eps0 + h * dvec
+    vmi = dict(theta); vmi["epsilon"] = eps0 - h * dvec
+    fd = (vg(vpl)[0] - vg(vmi)[0]) / (2 * h)
+    ad = float(np.dot(np.asarray(g_lane["epsilon"]), dvec))
+    np.testing.assert_allclose(ad, fd, rtol=1e-5)
