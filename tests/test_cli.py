@@ -195,6 +195,23 @@ def test_fwi_cli(tmp_path):
     assert np.all(np.isfinite(z["vp_final"]))
 
 
+def test_fwi_cli_lane_grad_path(tmp_path):
+    """--grad-path lane: gradients through the Pallas-kernel custom VJPs
+    end-to-end (observed synthesized on the same path)."""
+    out = str(tmp_path / "fwi_lane.npz")
+    r = run_cli(["scripts/fwi.py", "--n", "8", "--degree", "1",
+                 "--iters", "6", "--shots", "2", "--T", "1.0", "--cpu",
+                 "--grad-path", "lane", "--segment", "5",
+                 "--out", out], timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["misfit_last"] < summary["misfit_first"] \
+        or summary["model_err_reduction"] < 1.0
+    z = np.load(out)
+    assert np.all(np.isfinite(z["vp_final"]))
+
+
 def test_explosive_source_cli_resume(tmp_path):
     ck = str(tmp_path / "ck.npz")
     r1 = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
