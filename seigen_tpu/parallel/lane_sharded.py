@@ -123,7 +123,7 @@ class ShardedLaneRunner:
         self.self_mask = jnp.asarray(mask)  # (nf, E)
 
         if damp is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn = np.zeros((d.npp, E), dtype=np.float64)
             dn[: d.n_p] = np.asarray(damp)[old_of_new].T
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
             self.damp_s = jnp.asarray(np.tile(dn, (d.n_sig, 1)), self.dtype)
@@ -179,8 +179,8 @@ class ShardedLaneRunner:
     def _pack_sources(self, src, new_of_old):
         d = self.d
         K = src.elems.shape[0]
-        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
-        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
         for c in range(d.dim):
             vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                 src.vec_u[:, :, c]).T
@@ -192,11 +192,11 @@ class ShardedLaneRunner:
         local = new_e % self.E_loc
         S_max = max(int(np.bincount(shard, minlength=self.P).max()), 1)
         elems_sh = np.zeros((self.P, S_max), dtype=np.int32)
-        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float32)
-        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float32)
-        f0 = np.ones((self.P, S_max), np.float32)
-        t0 = np.zeros((self.P, S_max), np.float32)
-        amp = np.zeros((self.P, S_max), np.float32)
+        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float64)
+        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float64)
+        f0 = np.ones((self.P, S_max), np.float64)
+        t0 = np.zeros((self.P, S_max), np.float64)
+        amp = np.zeros((self.P, S_max), np.float64)
         fill = np.zeros(self.P, dtype=np.int64)
         for kk in range(K):
             p_ = shard[kk]
@@ -224,7 +224,7 @@ class ShardedLaneRunner:
         R = len(new_e)
         elems_sh = np.zeros((self.P, R), dtype=np.int32)
         w_sh = np.zeros((self.P, R, np.asarray(rcv.weights).shape[1]),
-                        np.float32)
+                        np.float64)
         for r in range(R):
             elems_sh[shard[r], r] = local[r]
             w_sh[shard[r], r] = np.asarray(rcv.weights)[r]

@@ -207,7 +207,7 @@ class LaneMajorRunner:
 
         # tiled damping rows (permuted to new order)
         if damp is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn = np.zeros((d.npp, E), dtype=np.float64)
             dn[: d.n_p] = np.asarray(damp)[old_of_new].T
             dn = np.pad(dn, ((0, 0), (0, E_pad - E)))
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
@@ -218,8 +218,8 @@ class LaneMajorRunner:
         # lane-major source vectors (elems remapped to new order)
         if src is not None:
             K = src.elems.shape[0]
-            vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
-            vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+            vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+            vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
             for c in range(d.dim):
                 vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                     src.vec_u[:, :, c]).T
