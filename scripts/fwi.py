@@ -58,7 +58,8 @@ def main():
                          "host — required for big 3D runs on this host's "
                          "TPU service, which faults batched-shot programs "
                          "at E~83k (BENCH_NOTES round 3)")
-    ap.add_argument("--grad-path", choices=["roll", "lane"], default="roll",
+    ap.add_argument("--grad-path", choices=["roll", "lane", "merged"],
+                    default="roll",
                     help="gradient formulation: 'roll' = AD through the "
                          "roll-exchange einsum step; 'lane' = energy-"
                          "conjugation custom VJPs through the Pallas lane "
@@ -182,16 +183,17 @@ def main():
     ex = detect_structured(dm)
     vel_op = stress_op = None
     ldf = None
-    if args.grad_path == "lane":
+    if args.grad_path in ("lane", "merged"):
         if ex is None:
-            raise SystemExit("--grad-path lane needs a structured mesh")
+            raise SystemExit("--grad-path lane/merged needs a structured "
+                             "mesh")
         from seigen_tpu.solver.lane_diff import LaneDiffFwi
 
         ldf = LaneDiffFwi(
             p0, dm, ex, dt, n_steps, shots, rcv, None, damp=damp,
-            segment=args.segment,
+            segment=args.segment, engine=args.grad_path,
             interpret=jax.devices()[0].platform == "cpu")
-        grad_ops = "lane_diff"
+        grad_ops = f"{args.grad_path}_diff"
     elif ex is not None:
         vel_op, stress_op = make_structured_ops(p0, ex)
         grad_ops = "xla_roll"

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
-        seed=0, paths=("roll", "lane")):
+        seed=0, paths=("roll", "lane", "merged")):
     from ..mesh import box_mesh, build_discrete
     from ..ops import Material, build_params  # noqa: F401 (CLI symmetry)
     from ..ops.structured_exchange import (detect_structured,
@@ -102,7 +102,8 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
                 return tot_v, tot_g
         else:
             ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots(src_list),
-                              rcv, obs, damp=damp, segment=segment)
+                              rcv, obs, damp=damp, segment=segment,
+                              engine=path)
             vg = ldf.vg_factory(None)
 
         v, g = vg(theta)  # compile + correctness sample
@@ -122,7 +123,7 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
             * 3.0 / best,
         }
         print(json.dumps({path: out[path]}), flush=True)
-    if len(grads) == 2:
+    if "roll" in grads and "lane" in grads:
         a, b = grads["roll"], grads["lane"]
         cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
                                     + 1e-30))
@@ -131,6 +132,12 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
         out["grad_rel_maxdiff"] = rel
         out["speedup"] = (out["roll"]["vg_seconds"]
                           / out["lane"]["vg_seconds"])
+    if "lane" in grads and "merged" in grads:
+        a, b = grads["lane"], grads["merged"]
+        out["grad_rel_maxdiff_merged"] = float(
+            np.abs(a - b).max() / (np.abs(a).max() + 1e-30))
+        out["speedup_merged_vs_lane"] = (
+            out["lane"]["vg_seconds"] / out["merged"]["vg_seconds"])
     print(json.dumps(out))
     return out
 

@@ -121,16 +121,16 @@ def build_fused_data(p: ElasticParams, damp=None,
     E = p.Ginv.shape[0]
     dt = p.Ginv.dtype
 
-    Dr = np.zeros((dim * npp, npp), dtype=np.float32)
+    Dr = np.zeros((dim * npp, npp), dtype=np.float64)
     for r in range(dim):
         Dr[r * npp : r * npp + n_p, :n_p] = np.asarray(p.Dr[r])
-    LIFT = np.zeros((npp, ftpp), dtype=np.float32)
+    LIFT = np.zeros((npp, ftpp), dtype=np.float64)
     LIFT[:n_p, :ftp] = np.asarray(p.LIFT)
     fn = np.array(p.fnodes).reshape(-1)
-    R = np.zeros((ftpp, npp), dtype=np.float32)
+    R = np.zeros((ftpp, npp), dtype=np.float64)
     R[np.arange(ftp), fn] = 1.0
 
-    erep = np.zeros((ftpp, 8), dtype=np.float32)
+    erep = np.zeros((ftpp, 8), dtype=np.float64)
     for f in range(nf):
         erep[f * n_fp : (f + 1) * n_fp, f] = 1.0
 
@@ -145,7 +145,7 @@ def build_fused_data(p: ElasticParams, damp=None,
     n_sig = p.n_sig
     o_C = o_mat + 8 if stiffness is not None else -1
     total = o_mat + 8 + (n_sig * 8 if stiffness is not None else 0)
-    geo = np.zeros((total, E), dtype=np.float32)
+    geo = np.zeros((total, E), dtype=np.float64)
     geo[: dim * dim] = (
         np.asarray(p.Ginv).transpose(1, 2, 0).reshape(dim * dim, E))
     fsc = np.asarray(p.Fscale)  # (E, nf)
@@ -165,7 +165,7 @@ def build_fused_data(p: ElasticParams, damp=None,
 
     dmp = None
     if damp is not None:
-        dn = np.zeros((npp, E), dtype=np.float32)
+        dn = np.zeros((npp, E), dtype=np.float64)
         dn[:n_p] = np.asarray(damp).T
         dmp = jnp.asarray(dn, dt)
 
@@ -206,9 +206,12 @@ KERNEL_PRECISION = __import__("os").environ.get(
 
 
 def _dot_raw(a, b, precision=None):
+    # f64 inputs (interpret-mode exactness tests, adjoint checks) keep
+    # f64 accumulation; f32/bf16 keep the f32 MXU path
+    pet = a.dtype if a.dtype == jnp.float64 else jnp.float32
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=precision)
 
 
@@ -223,6 +226,8 @@ def _dot(a, b, onehot=False):
     onehot=True marks selection/expansion matrices whose entries are exact
     in bf16 (0/1): only the b operand needs splitting (2 passes).
     """
+    if a.dtype == jnp.float64:  # bf16 splitting would destroy f64
+        return _dot_raw(a, b, jax.lax.Precision.HIGHEST)
     if KERNEL_PRECISION == "highest":
         return _dot_raw(a, b, jax.lax.Precision.HIGHEST)
     if KERNEL_PRECISION == "default":

@@ -193,7 +193,7 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
         slot_of = {}
         slots = []
         faces = []
-        P_t = np.zeros((nf, rtf, rtf), dtype=np.float32)
+        P_t = np.zeros((nf, rtf, rtf), dtype=np.float64)
         for f in range(nf):
             t2 = int(ex.nbr_class[t, f])
             off = _canonical_shift(ex, t, f)
@@ -219,7 +219,8 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
                 faces.append((2, sm, slot(oA), slot(oA + 1)))
         faces_all.append(tuple(faces))
         slots_all.append(tuple(slots))
-        P_all.append(jnp.asarray(P_t.reshape(nf * rtf, rtf)))
+        P_all.append(jnp.asarray(P_t.reshape(nf * rtf, rtf),
+                                 d.geo.dtype))
 
     return MergedPlan(
         bx=bx, m=ex.m, nf=nf, n_fp=nfp, NCloc=NCloc, NCs=NCs, NCt=NCt,

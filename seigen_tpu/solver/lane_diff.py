@@ -122,6 +122,93 @@ def _wmul(x, Mm, dj, kd, C, npp):
     return y.reshape(C * npp, -1) * dj
 
 
+def _merged_field_traces(r, flm, C):
+    """Own-face traces of a lane-major field in the merged per-face TRACE
+    layout (the u-trace analog of MergedLaneRunner.traction_traces)."""
+    import jax.lax as lax
+
+    d, plan = r.d, r.plan
+    rows_c = [r._rmat @ flm[c * d.npp : (c + 1) * d.npp] for c in range(C)]
+    nfp, pad = d.n_fp, plan.rtf - C * d.n_fp
+    blocks = []
+    for f in range(plan.nf):
+        blocks += [rows_c[c][f * nfp : (f + 1) * nfp] for c in range(C)]
+        if pad:
+            blocks.append(jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
+    blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
+    out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
+    for t in range(plan.m):
+        out = lax.dynamic_update_slice(
+            out, blk[:, t * plan.NCs : t * plan.NCs + r.NC],
+            (0, t * plan.NCt + plan.h0))
+    return out
+
+
+def make_merged_diff_ops(runner, w: dict):
+    """custom_vjp-wrapped material-free MERGED (v3) operators.
+
+    Same conjugation identities as make_diff_ops, but the primal is the
+    exchange-in-kernel merged operator with per-op trace seeding: each
+    application recomputes its input's own-face traces (cheap row
+    restriction (+ normal contraction for tractions)) instead of carrying
+    producer-emitted traces across the scan — the price of clean
+    (state -> state) custom-vjp boundaries.  The boundary mask travels in
+    ``w`` (float rows, structural-zero cotangent)."""
+    from ..ops.merged_kernels import stress_merged, vel_merged
+
+    d, plan = runner.d, runner.plan
+    dim, n_sig, npp = d.dim, d.n_sig, d.npp
+    itp = runner.interpret
+    dt = runner.dtype
+    if dim == 2:
+        kinv = jnp.asarray([1.0, 1.0, 2.0], dt)
+    else:
+        kinv = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dt)
+    kdiag = 1.0 / kinv
+
+    def a_prim(dd, ww, sig_lm):
+        trs = runner.traction_traces(sig_lm)
+        return vel_merged(plan, dd, sig_lm, trs, ww["mask"], itp)[0]
+
+    def b_prim(dd, ww, u_lm):
+        trs = _merged_field_traces(runner, u_lm, dim)
+        return stress_merged(plan, dd, u_lm, trs, ww["mask"], itp)[0]
+
+    @jax.custom_vjp
+    def A(dd, ww, sig_lm):
+        return a_prim(dd, ww, sig_lm)
+
+    @jax.custom_vjp
+    def B(dd, ww, u_lm):
+        return b_prim(dd, ww, u_lm)
+
+    def a_fwd(dd, ww, sig_lm):
+        return a_prim(dd, ww, sig_lm), (dd, ww)
+
+    def a_bwd(res, ubar):
+        dd, ww = res
+        x = _wmul(ubar, ww["Mninv"], ww["idetj"], None, dim, npp)
+        y = b_prim(dd, ww, x)
+        sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
+        return (jax.tree.map(jnp.zeros_like, dd),
+                jax.tree.map(jnp.zeros_like, ww), sbar)
+
+    def b_fwd(dd, ww, u_lm):
+        return b_prim(dd, ww, u_lm), (dd, ww)
+
+    def b_bwd(res, ebar):
+        dd, ww = res
+        x = _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag, n_sig, npp)
+        y = a_prim(dd, ww, x)
+        ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
+        return (jax.tree.map(jnp.zeros_like, dd),
+                jax.tree.map(jnp.zeros_like, ww), ubar)
+
+    A.defvjp(a_fwd, a_bwd)
+    B.defvjp(b_fwd, b_bwd)
+    return A, B
+
+
 def make_diff_ops(runner: LaneMajorRunner, w: dict):
     """custom_vjp-wrapped material-free lane operators (A, B').
 
@@ -214,9 +301,15 @@ class LaneDiffFwi:
         interpret: bool | None = None,
         aniso: str | None = None,
         theta_defaults: dict | None = None,
+        engine: str = "lane",
     ):
         if interpret is None:  # Pallas on CPU requires interpret mode
             interpret = jax.devices()[0].platform == "cpu"
+        if engine not in ("lane", "merged"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine == "merged" and order != 4:
+            raise ValueError("engine='merged' is LF4-only")
+        self.engine = engine
         kw = {} if block is None else {"block": block}
         # inversion defaults for fields theta does not carry (threaded as
         # jit arguments — E-sized closure constants would hit the axon
@@ -245,12 +338,46 @@ class LaneDiffFwi:
             self._theta0.update({
                 k: jnp.asarray(v, p0.Ginv.dtype)
                 for k, v in theta_defaults.items()})
-        self.runner = LaneMajorRunner(
-            _material_free(p0), ex, dt, order=order, damp=damp,
-            receivers=receivers, interpret=interpret, **kw)
-        r = self.runner
-        self.w = _mass_weights(dm, r)
-        self.A, self.B = make_diff_ops(r, self.w)
+        if engine == "merged":
+            from .lane_merged import MergedLaneRunner
+
+            self.runner = r = MergedLaneRunner(
+                _material_free(p0), ex, dt, order=4, damp=damp,
+                receivers=receivers, interpret=interpret, **kw)
+            self.E = r.E
+            self._L = r.plan.Ls
+            # class-major new index -> state lane (per-class padded)
+            lanes = r._slane(np.arange(self.E))
+            # mass weights + mask: detj placed at real lanes, dead lanes 1
+            d = r.d
+            M = np.asarray(dm.re.M, np.float64)
+            Mn = np.eye(d.npp)
+            Mn[: d.n_p, : d.n_p] = M
+            detJ = np.ones(self._L)
+            detJ[lanes] = np.asarray(dm.detJ)[r._old_of_new]
+            self.w = {
+                "Mn": jnp.asarray(Mn, r.dtype),
+                "Mninv": jnp.asarray(np.linalg.inv(Mn), r.dtype),
+                "detj": jnp.asarray(detJ, r.dtype)[None],
+                "idetj": jnp.asarray(1.0 / detJ, r.dtype)[None],
+                "mask": r.mask,
+            }
+            self.A, self.B = make_merged_diff_ops(r, self.w)
+            # stress damp rows (the production merged path folds them into
+            # stress_axpy; the diff path damps via compose_lf_step's post)
+            self._damp_s = (None if d.damp is None
+                            else jnp.tile(d.damp, (d.n_sig, 1)))
+        else:
+            self.runner = r = LaneMajorRunner(
+                _material_free(p0), ex, dt, order=order, damp=damp,
+                receivers=receivers, interpret=interpret, **kw)
+            self.E = r.E
+            self._L = r.E_pad
+            lanes = np.arange(self.E)
+            self.w = _mass_weights(dm, r)
+            self.A, self.B = make_diff_ops(r, self.w)
+            self._damp_s = None  # runner aux carries damp_s
+        self._lanes = jnp.asarray(lanes, jnp.int32)
         self.dt = r.dt
         self.order = order
         self.n_steps = n_steps
@@ -258,7 +385,6 @@ class LaneDiffFwi:
         self.dtype = r.dtype
         self.observed = observed
         d = r.d
-        self.E, self.E_pad = r.E, r.E_pad
         self._perm = jnp.asarray(r._old_of_new)
 
         # per-shot lane-major source data (host-side, once)
@@ -268,6 +394,7 @@ class LaneDiffFwi:
             elems = elems[None]
         self.n_shots = elems.shape[0]
         new_of_old = r._new_of_old
+        src_lanes = np.asarray(self._lanes)[new_of_old[elems]]
         vu = np.asarray(shots.vec_u)  # (S, K, n_p, dim)
         vs = np.asarray(shots.vec_s)
         S, K = elems.shape
@@ -280,7 +407,7 @@ class LaneDiffFwi:
             return out
 
         self.src = {
-            "elems": jnp.asarray(new_of_old[elems], jnp.int32),
+            "elems": jnp.asarray(src_lanes, jnp.int32),
             "vu": jnp.asarray(lane_vecs(vu, d.dim)),
             "vs": jnp.asarray(lane_vecs(vs, d.n_sig)),
             "f0": jnp.asarray(shots.f0, self.dtype),
@@ -289,6 +416,16 @@ class LaneDiffFwi:
         }
         self._vg_one = None
 
+    def _aux(self):
+        """Runner aux for the diff path: mask travels in ``w`` instead,
+        and the merged engine's stress damp rows are added (the
+        production merged path folds them into stress_axpy)."""
+        aux = dict(self.runner._aux())
+        aux.pop("mask", None)
+        if self._damp_s is not None:
+            aux["damp_s"] = self._damp_s
+        return aux
+
     # --- material rows from theta ------------------------------------
     def _mrows(self, theta: dict, defaults: dict):
         """theta {vp,vs,rho} (E,) original order -> lane (1, E_pad) rows.
@@ -296,26 +433,31 @@ class LaneDiffFwi:
         Fields absent from theta come from ``defaults`` (p0's values,
         threaded as arguments).
         """
-        E, E_pad = self.E, self.E_pad
+        L = self._L
         full = {**defaults, **theta}
         vp, vs, rho = full["vp"], full["vs"], full["rho"]
         take = lambda a: jnp.asarray(a, self.dtype)[self._perm]
         vp, vs, rho = take(vp), take(vs), take(rho)
         irho = 1.0 / rho
-        pad = lambda a, v: jnp.pad(a, (0, E_pad - E), constant_values=v)[None]
+
+        def place(a, dead):
+            row = jnp.full((L,), dead, self.dtype)
+            return row.at[self._lanes].set(a)[None]
+
         if self.aniso == "vti":
             from ..ops.anisotropic import vti_stiffness_jnp
 
             C = vti_stiffness_jnp(
                 vp, vs, rho, take(full["epsilon"]), take(full["delta"]),
                 take(full["gamma"]))  # (E, 6, 6) lane order
-            C = jnp.moveaxis(C, 0, -1)  # (6, 6, E)
-            C = jnp.pad(C, ((0, 0), (0, 0), (0, E_pad - E)))
-            return {"C": C.astype(self.dtype), "irho": pad(irho, 1.0)}
+            C = jnp.moveaxis(C, 0, -1).astype(self.dtype)  # (6, 6, E)
+            Cp = jnp.zeros(C.shape[:2] + (L,), self.dtype)
+            Cp = Cp.at[:, :, self._lanes].set(C)
+            return {"C": Cp, "irho": place(irho, 1.0)}
         mu = rho * vs * vs
         lam = rho * (vp * vp - 2.0 * vs * vs)
-        return {"lam": pad(lam, 0.0), "mu": pad(mu, 0.0),
-                "irho": pad(irho, 1.0)}
+        return {"lam": place(lam, 0.0), "mu": place(mu, 0.0),
+                "irho": place(irho, 1.0)}
 
     # --- the differentiable step -------------------------------------
     def _make_step(self, dd, ww, aux, mrows, src_k):
@@ -374,8 +516,8 @@ class LaneDiffFwi:
         d = r.d
         mrows = self._mrows(theta, defaults)
         step = self._make_step(dd, ww, aux, mrows, src_k)
-        u0 = jnp.zeros((d.dim * d.npp, self.E_pad), self.dtype)
-        s0 = jnp.zeros((d.n_sig * d.npp, self.E_pad), self.dtype)
+        u0 = jnp.zeros((d.dim * d.npp, self._L), self.dtype)
+        s0 = jnp.zeros((d.n_sig * d.npp, self._L), self.dtype)
 
         def body(carry, k):
             u, s = step(carry[0], carry[1], k.astype(self.dtype) * self.dt)
@@ -418,7 +560,7 @@ class LaneDiffFwi:
                 lambda th, df, dd, ww, aux, sk:
                 self._seis_one(th, df, dd, ww, aux, sk))
         r = self.runner
-        aux = r._aux()
+        aux = self._aux()
         out = []
         for k in range(self.n_shots):
             src_k = jax.tree.map(lambda x, k=k: x[k], self.src)
@@ -450,7 +592,7 @@ class LaneDiffFwi:
             self._vg_one = jax.jit(jax.value_and_grad(loss))
 
         r = self.runner
-        aux = r._aux()
+        aux = self._aux()
 
         def vg(theta):
             tot_v, tot_g = 0.0, None
@@ -480,6 +622,9 @@ class LaneDiffFwi:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
+        if self.engine != "lane":
+            raise ValueError("vg_factory_sharded currently rides the "
+                             "'lane' engine")
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("shot",))
         nd = mesh.shape["shot"]
@@ -522,7 +667,7 @@ class LaneDiffFwi:
             fn = jax.jit(vg_shard)
 
             def vg(theta):
-                v, g = fn(theta, self._theta0, r.d, self.w, r._aux(),
+                v, g = fn(theta, self._theta0, r.d, self.w, self._aux(),
                           self.src, obs)
                 return float(v), g
 
@@ -538,5 +683,5 @@ class LaneDiffFwi:
         if taps is not None:
             from .fwi import lowpass
             obs = lowpass(obs, taps, axis=0)
-        return self._loss_one(theta, self._theta0, r.d, self.w, r._aux(),
-                              src_k, obs, taps)
+        return self._loss_one(theta, self._theta0, r.d, self.w,
+                              self._aux(), src_k, obs, taps)

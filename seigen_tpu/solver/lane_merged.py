@@ -68,7 +68,7 @@ class MergedLaneRunner:
         # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
         # its traces feed the sh1 stage)
         if damp is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn = np.zeros((d.npp, E), dtype=np.float64)
             dn[: d.n_p] = damp_perm.T
             dn = self._place(dn)
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
@@ -140,11 +140,11 @@ class MergedLaneRunner:
         # face-node-expanded normals for the initial traction extraction
         nrm = np.asarray(p.normals)[old_of_new]  # (E, nf, dim)
         rep = np.repeat(np.arange(d.nf), d.n_fp)
-        nrm_exp = np.zeros((d.dim, d.ftpp, plan.Ls), dtype=np.float32)
+        nrm_exp = np.zeros((d.dim, d.ftpp, plan.Ls), dtype=np.float64)
         for dd in range(d.dim):
             nrm_exp[dd, : d.ftp] = self._place(nrm[:, rep, dd].T)
         self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
-        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float32)
+        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float64)
         fn = np.array(p.fnodes).reshape(-1)
         rmat[np.arange(d.ftp), fn] = 1.0
         self._rmat = jnp.asarray(rmat, self.dtype)
@@ -189,8 +189,8 @@ class MergedLaneRunner:
             return
         K = src.elems.shape[0]
         V = voigt_map(d.dim)
-        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
-        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
         for c in range(d.dim):
             vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                 src.vec_u[:, :, c]).T
@@ -204,8 +204,8 @@ class MergedLaneRunner:
         vec_s = np.asarray(src.vec_s)
         # face-major trace patches, rows f*rtf + c*n_fp + k
         rtf = self.plan.rtf
-        tru = np.zeros((d.nf * rtf, K), dtype=np.float32)
-        trt = np.zeros((d.nf * rtf, K), dtype=np.float32)
+        tru = np.zeros((d.nf * rtf, K), dtype=np.float64)
+        trt = np.zeros((d.nf * rtf, K), dtype=np.float64)
         for c in range(d.dim):
             for f in range(d.nf):
                 rows = f * rtf + c * d.n_fp + np.arange(d.n_fp)
@@ -240,8 +240,8 @@ class MergedLaneRunner:
         if len(groups) <= 2:
             dense = []
             for (f0g, t0g), idx in groups.items():
-                Su = np.zeros((d.dim * d.npp, self.plan.Ls), np.float32)
-                Ss = np.zeros((d.n_sig * d.npp, self.plan.Ls), np.float32)
+                Su = np.zeros((d.dim * d.npp, self.plan.Ls), np.float64)
+                Ss = np.zeros((d.n_sig * d.npp, self.plan.Ls), np.float64)
                 for k in idx:
                     Su[:, sl[k]] += vu[:, k] * ampa[k]
                     Ss[:, sl[k]] += vs[:, k] * ampa[k]

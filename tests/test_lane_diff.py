@@ -359,3 +359,47 @@ def test_aniso_vti_gradient_matches_einsum_ad():
     fd = (vg(vpl)[0] - vg(vmi)[0]) / (2 * h)
     ad = float(np.dot(np.asarray(g_lane["epsilon"]), dvec))
     np.testing.assert_allclose(ad, fd, rtol=1e-5)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_merged_engine_gradient_matches_lane(dim):
+    """engine='merged' (v3 exchange-in-kernel ops + per-op trace seeding)
+    reproduces the lane-engine gradient to roundoff."""
+    if dim == 2:
+        dm, p0, ex = _setup_2d(het=True, seed=21)
+        damp = jnp.asarray(
+            sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+            jnp.float64)
+    else:
+        rng = np.random.default_rng(22)
+        dm = build_discrete(
+            box_mesh(2, 2, 2), 1,
+            bc_fn=absorbing_bc_fn(((0.0, 1.0),) * 3,
+                                  free_sides=[(2, "hi")]))
+        E = dm.num_elements
+        p0 = build_params(
+            dm, Material(rho=1.0 + rng.random(E), vp=2.0 + rng.random(E),
+                         vs=0.8 + 0.3 * rng.random(E)), dtype=jnp.float64)
+        ex = detect_structured(dm)
+        damp = None
+    dt = cfl_dt(float(dm.h.min()), 3.5, 2, 0.25)
+    n_steps = 10
+    src, rcv = _point_src(dm), _rcv(dm)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    theta = {"vp": jnp.asarray(vp0)}
+    res = {}
+    for engine in ("lane", "merged"):
+        ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                          None, damp=damp, block=8, interpret=True,
+                          engine=engine)
+        ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.06)})
+        res[engine] = ldf.vg_factory(None)(theta) + (ldf.observed,)
+    v1, g1, o1 = res["lane"]
+    v2, g2, o2 = res["merged"]
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-11,
+                               atol=1e-14)
+    np.testing.assert_allclose(v2, v1, rtol=1e-10)
+    scale = np.abs(np.asarray(g1["vp"])).max()
+    assert scale > 0
+    np.testing.assert_allclose(np.asarray(g2["vp"]), np.asarray(g1["vp"]),
+                               rtol=1e-9, atol=1e-13 * scale)
