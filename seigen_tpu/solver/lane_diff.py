@@ -622,9 +622,6 @@ class LaneDiffFwi:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
-        if self.engine != "lane":
-            raise ValueError("vg_factory_sharded currently rides the "
-                             "'lane' engine")
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("shot",))
         nd = mesh.shape["shot"]

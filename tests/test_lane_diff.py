@@ -226,7 +226,8 @@ def test_invert_with_lane_vg_reduces_misfit():
     assert res.misfits[-1] < res.misfits[0]
 
 
-def test_vg_sharded_matches_host():
+@pytest.mark.parametrize("engine", ["lane", "merged"])
+def test_vg_sharded_matches_host(engine):
     """Shot-DP gradient over an 8-device mesh == host-accumulated vg."""
     from jax.sharding import Mesh
 
@@ -238,7 +239,7 @@ def test_vg_sharded_matches_host():
     srcs = [_point_src(dm, pos=(0.15 + 0.1 * k, 0.6)) for k in range(8)]
     rcv = _rcv(dm)
     ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots(srcs), rcv,
-                      None, block=8, interpret=True)
+                      None, block=8, interpret=True, engine=engine)
     vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
     ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.05)})
     theta = {"vp": jnp.asarray(vp0)}
