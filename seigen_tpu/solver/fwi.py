@@ -212,15 +212,18 @@ def invert(
             return 0.5 * jnp.sum(r * r)
 
         vg_one = jax.jit(jax.value_and_grad(loss_one))
+        obs_np = np.asarray(obs)  # pre-sliced on host: no per-shot device
+        shots_np = jax.tree.map(np.asarray, shots)  # slice executions
 
         def vg(th):
             tot_v, tot_g = 0.0, None
             for i in range(shots.elems.shape[0]):
-                shot_i = jax.tree.map(lambda x, i=i: x[i], shots)
-                v, g = vg_one(th, shot_i, obs[i])
-                tot_v += float(v)
-                tot_g = (g if tot_g is None
-                         else jax.tree.map(jnp.add, tot_g, g))
+                shot_i = jax.tree.map(lambda x, i=i: x[i], shots_np)
+                v, g = vg_one(th, shot_i, obs_np[i])
+                g = jax.tree.map(np.asarray, g)  # accumulate on host —
+                tot_v += float(v)  # per-shot jnp.add costs a ~1 s tunnel
+                tot_g = (g if tot_g is None  # dispatch each (BENCH_NOTES)
+                         else jax.tree.map(np.add, tot_g, g))
             return tot_v, tot_g
 
         return vg
@@ -266,19 +269,28 @@ def invert(
             opt = (optax.adam(lr) if optimizer == "adam"
                    else optax.sgd(1.0))
             opt_state = opt.init(theta)
-            for it in range(iters):
-                value, grad = vg(theta)
+
+            @jax.jit
+            def apply_update(grad, opt_state, theta):
+                # smoothing + (gd normalization) + optax + projection in
+                # ONE device execution: on the tunnelled TPU each small
+                # op costs ~1 s dispatch (BENCH_NOTES)
                 if smoothp is not None:
                     grad = {k: smoothp(v) for k, v in grad.items()}
                 if optimizer == "gd":
                     # max-normalized descent: lr in model units at the
                     # most sensitive element (the round-2 demo update)
-                    gmax = max(
-                        float(jnp.abs(v).max()) for v in grad.values())
-                    grad = {k: (lr / max(gmax, 1e-30)) * v
+                    gmax = jnp.max(jnp.asarray(
+                        [jnp.abs(v).max() for v in grad.values()]))
+                    grad = {k: (lr / jnp.maximum(gmax, 1e-30)) * v
                             for k, v in grad.items()}
                 updates, opt_state = opt.update(grad, opt_state, theta)
-                theta = project(optax.apply_updates(theta, updates))
+                return project(optax.apply_updates(theta, updates)), \
+                    opt_state
+
+            for it in range(iters):
+                value, grad = vg(theta)
+                theta, opt_state = apply_update(grad, opt_state, theta)
                 misfits.append(float(value))
                 if log:
                     log(f"band={fc} iter={it} misfit={float(value):.4e}")

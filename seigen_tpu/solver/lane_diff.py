@@ -594,15 +594,19 @@ class LaneDiffFwi:
         r = self.runner
         aux = self._aux()
 
+        obs_np = np.asarray(obs)  # pre-sliced on host (tunnel dispatch)
+        src_np = jax.tree.map(np.asarray, self.src)
+
         def vg(theta):
             tot_v, tot_g = 0.0, None
             for k in range(self.n_shots):
-                src_k = jax.tree.map(lambda x, k=k: x[k], self.src)
+                src_k = jax.tree.map(lambda x, k=k: x[k], src_np)
                 v, g = self._vg_one(theta, self._theta0, r.d, self.w, aux,
-                                    src_k, obs[k], taps)
+                                    src_k, obs_np[k], taps)
+                g = jax.tree.map(np.asarray, g)
                 tot_v += float(v)
                 tot_g = g if tot_g is None else jax.tree.map(
-                    jnp.add, tot_g, g)
+                    np.add, tot_g, g)
             return tot_v, tot_g
 
         return vg
