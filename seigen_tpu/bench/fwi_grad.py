@@ -54,6 +54,8 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
     h = float(dm.h.min())
     dt = cfl_dt(h, 2.4, degree, 0.4)
     if segment:
+        if n_steps < segment:
+            raise ValueError(f"n_steps {n_steps} < segment {segment}")
         n_steps -= n_steps % segment
     f0 = 0.15 * 2.4 / h / (degree + 1)
     src_list = [

@@ -25,15 +25,15 @@ on virtual devices in tests/test_lane_diff_sharded.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
-from ..solver.lane_diff import _material_free, _wmul
+from ..solver.lane_diff import (_mass_weights, _material_free,
+                                lame_rows, make_conjugated_vjp,
+                                theta_of_params)
 from ..solver.source import ricker
 from ..solver.timestep import compose_lf_step
 from .lane_sharded import AXIS, ShardedLaneRunner
@@ -64,6 +64,8 @@ class ShardedLaneDiffFwi:
     ):
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
+        if receivers is None:
+            raise ValueError("ShardedLaneDiffFwi needs receivers")
         self.runner = ShardedLaneRunner(
             _material_free(p0), ex, dt, n_shards, order=order, src=None,
             damp=damp, receivers=receivers, block=block,
@@ -76,25 +78,14 @@ class ShardedLaneDiffFwi:
         self.dt = r.dt
         self.E = r.E
         self.observed = observed
-        self._theta0 = {
-            "vp": jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho),
-            "vs": jnp.sqrt(p0.mu * p0.inv_rho),
-            "rho": 1.0 / p0.inv_rho,
-        }
+        self._theta0 = theta_of_params(p0)
         self._perm = jnp.asarray(r._old_of_new)
 
-        # mass-conjugation weights, global lane rows (sharded by lanes)
-        d = r.d
-        M = np.asarray(dm.re.M, np.float64)
-        Mn = np.eye(d.npp)
-        Mn[: d.n_p, : d.n_p] = M
-        detJ = np.asarray(dm.detJ)[r._old_of_new]
-        self.w = {
-            "Mn": jnp.asarray(Mn, self.dtype),
-            "Mninv": jnp.asarray(np.linalg.inv(Mn), self.dtype),
-            "detj": jnp.asarray(detJ, self.dtype)[None],
-            "idetj": jnp.asarray(1.0 / detJ, self.dtype)[None],
-        }
+        # mass-conjugation weights, global lane rows (sharded by lanes);
+        # the boundary mask travels in w as float rows so the shared
+        # conjugation factory sees all-float cotangent structure
+        self.w = _mass_weights(dm, r, lanes=np.arange(r.E), L=r.E)
+        self.w["mask"] = r.self_mask.astype(self.dtype)
 
         # per-shot shard-packed sources
         elems = np.asarray(shots.elems)
@@ -133,68 +124,29 @@ class ShardedLaneDiffFwi:
             return self._ops
         r = self.runner
         d = r.d
-        dim, n_sig, npp = d.dim, d.n_sig, d.npp
         blk, itp = r.block, r.interpret
-        if dim == 2:
-            kinv = jnp.asarray([1.0, 1.0, 2.0], self.dtype)
-        else:
-            kinv = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], self.dtype)
-        kdiag = 1.0 / kinv
 
-        def a_prim(dd, mask, sf):
-            tr = r._exchange_loc(sf, mask, "s", n_sig)
+        def a_prim(dd, ww, sf):
+            tr = r._exchange_loc(sf, ww["mask"] != 0, "s", d.n_sig)
             return vel_op_lm(dd, sf, tr, blk, itp)
 
-        def b_prim(dd, mask, uf):
-            tr = r._exchange_loc(uf, mask, "u", dim)
+        def b_prim(dd, ww, uf):
+            tr = r._exchange_loc(uf, ww["mask"] != 0, "u", d.dim)
             return stress_op_lm(dd, uf, tr, blk, itp)
 
-        @jax.custom_vjp
-        def A(dd, ww, mask, sf):
-            return a_prim(dd, mask, sf)
-
-        @jax.custom_vjp
-        def B(dd, ww, mask, uf):
-            return b_prim(dd, mask, uf)
-
-        def a_fwd(dd, ww, mask, sf):
-            return a_prim(dd, mask, sf), (dd, ww, mask)
-
-        def a_bwd(res, ubar):
-            dd, ww, mask = res
-            x = _wmul(ubar, ww["Mninv"], ww["idetj"], None, dim, npp)
-            y = b_prim(dd, mask, x)
-            sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
-            return (jax.tree.map(jnp.zeros_like, dd),
-                    jax.tree.map(jnp.zeros_like, ww), None, sbar)
-
-        def b_fwd(dd, ww, mask, uf):
-            return b_prim(dd, mask, uf), (dd, ww, mask)
-
-        def b_bwd(res, ebar):
-            dd, ww, mask = res
-            x = _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag, n_sig, npp)
-            y = a_prim(dd, mask, x)
-            ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
-            return (jax.tree.map(jnp.zeros_like, dd),
-                    jax.tree.map(jnp.zeros_like, ww), None, ubar)
-
-        A.defvjp(a_fwd, a_bwd)
-        B.defvjp(b_fwd, b_bwd)
-        self._ops = (A, B)
+        self._ops = make_conjugated_vjp(a_prim, b_prim, d.dim, d.n_sig,
+                                        d.npp, self.dtype)
         return self._ops
 
     def _mrows(self, theta, defaults):
         full = {**defaults, **theta}
         take = lambda a: jnp.asarray(a, self.dtype)[self._perm]
-        vp, vs, rho = take(full["vp"]), take(full["vs"]), take(full["rho"])
-        mu = rho * vs * vs
-        lam = rho * (vp * vp - 2.0 * vs * vs)
-        return {"lam": lam[None], "mu": mu[None],
-                "irho": (1.0 / rho)[None]}
+        lam, mu, irho = lame_rows(take(full["vp"]), take(full["vs"]),
+                                  take(full["rho"]))
+        return {"lam": lam[None], "mu": mu[None], "irho": irho[None]}
 
     # -- the shard_map'd differentiable forward ------------------------
-    def _forward(self, theta, defaults, dd, ww, aux, mask, src_k):
+    def _forward(self, theta, defaults, dd, ww, aux, src_k):
         """(n_steps, R, dim) seismograms; runs UNDER jit, shard_map inside."""
         r = self.runner
         d = r.d
@@ -209,7 +161,7 @@ class ShardedLaneDiffFwi:
             dim=d.dim, n_p=d.n_p, npp=d.npp, ftp=d.ftp, ftpp=d.ftpp,
             n_sig=d.n_sig, E=d.E)
         w_specs = {"Mn": P(), "Mninv": P(), "detj": P(None, AXIS),
-                   "idetj": P(None, AXIS)}
+                   "idetj": P(None, AXIS), "mask": P(None, AXIS)}
         m_specs = {k: P(None, AXIS) for k in ("lam", "mu", "irho")}
         aux_specs = {}
         if "damp_u" in aux:
@@ -222,7 +174,7 @@ class ShardedLaneDiffFwi:
 
         n, seg = self.n_steps, self.segment
 
-        def inner(dd, ww, auxg, maskg, mr, sk):
+        def inner(dd, ww, auxg, mr, sk):
             aux_l = dict(auxg)
             for k in ("rcv_elems", "rcv_w"):
                 if k in aux_l:
@@ -231,10 +183,10 @@ class ShardedLaneDiffFwi:
             lam, mu, irho = mr["lam"], mr["mu"], mr["irho"]
 
             def vel(sf):
-                return irho * A(dd, ww, maskg, sf)
+                return irho * A(dd, ww, sf)
 
             def stress(uf):
-                eps = B(dd, ww, maskg, uf).reshape(n_sig, npp, -1)
+                eps = B(dd, ww, uf).reshape(n_sig, npp, -1)
                 tr = jnp.sum(eps[:dim], axis=0)
                 out = 2.0 * mu[None] * eps
                 out = out.at[:dim].add(lam[None] * tr[None])
@@ -288,15 +240,14 @@ class ShardedLaneDiffFwi:
         mrows_p = self._mrows(theta, defaults)
         return jax.shard_map(
             inner, mesh=r.mesh,
-            in_specs=(d_specs, w_specs, aux_specs, P(None, AXIS),
-                      m_specs, src_specs),
+            in_specs=(d_specs, w_specs, aux_specs, m_specs, src_specs),
             out_specs=P(),
             check_vma=False,
-        )(dd, ww, aux, mask, mrows_p, src_k)
+        )(dd, ww, aux, mrows_p, src_k)
 
-    def _loss_one(self, theta, defaults, dd, ww, aux, mask, src_k, obs,
+    def _loss_one(self, theta, defaults, dd, ww, aux, src_k, obs,
                   taps):
-        seis = self._forward(theta, defaults, dd, ww, aux, mask, src_k)
+        seis = self._forward(theta, defaults, dd, ww, aux, src_k)
         if taps is not None:
             from ..solver.fwi import lowpass
             seis = lowpass(seis, taps, axis=0)
@@ -307,8 +258,8 @@ class ShardedLaneDiffFwi:
         r = self.runner
         if not hasattr(self, "_synth_one"):
             self._synth_one = jax.jit(
-                lambda th, df, dd, ww, aux, mask, sk:
-                self._forward(th, df, dd, ww, aux, mask, sk))
+                lambda th, df, dd, ww, aux, sk:
+                self._forward(th, df, dd, ww, aux, sk))
         aux = r._aux_global()
         aux = {k: v for k, v in aux.items()
                if k.startswith("rcv") or k.startswith("damp")}
@@ -316,7 +267,7 @@ class ShardedLaneDiffFwi:
         for k in range(self.n_shots):
             sk = {kk: v[k] for kk, v in self.src.items()}
             out.append(np.asarray(self._synth_one(
-                theta, self._theta0, r.d, self.w, aux, r.self_mask, sk)))
+                theta, self._theta0, r.d, self.w, aux, sk)))
         return np.stack(out)
 
     def vg_factory(self, taps):
@@ -332,8 +283,8 @@ class ShardedLaneDiffFwi:
                if k.startswith("rcv") or k.startswith("damp")}
 
         if self._vg_one is None:
-            def loss(th, df, dd, ww, auxg, mask, sk, obs_s, taps_):
-                return self._loss_one(th, df, dd, ww, auxg, mask, sk,
+            def loss(th, df, dd, ww, auxg, sk, obs_s, taps_):
+                return self._loss_one(th, df, dd, ww, auxg, sk,
                                       obs_s, taps_)
 
             self._vg_one = jax.jit(jax.value_and_grad(loss))
@@ -343,7 +294,7 @@ class ShardedLaneDiffFwi:
             for k in range(self.n_shots):
                 sk = {kk: v[k] for kk, v in self.src.items()}
                 v, g = self._vg_one(theta, self._theta0, r.d, self.w, aux,
-                                    r.self_mask, sk, obs[k], taps)
+                                    sk, obs[k], taps)
                 tot_v += float(v)
                 tot_g = g if tot_g is None else jax.tree.map(
                     jnp.add, tot_g, g)

@@ -88,29 +88,108 @@ def _material_free(p: ElasticParams) -> ElasticParams:
     )
 
 
-def _mass_weights(dm, runner: LaneMajorRunner):
+def _mass_weights(dm, runner, lanes=None, L=None):
     """Per-element mass-conjugation weights in lane layout (jit arguments).
 
     Mn / Mninv embed the reference mass matrix into the padded npp rows
     (identity on pad rows — those rows are zero throughout); detj is the
-    class-major-permuted per-element Jacobian, padded lanes set to 1 so the
-    inverse weight is finite there (padded lanes never couple to real
-    lanes: the exchange only reads the first E lanes).
-    """
+    class-major-permuted per-element Jacobian placed at ``lanes`` within
+    width ``L`` (default: the first E lanes of the v1 E_pad layout), dead
+    lanes set to 1 so the inverse weight is finite there (dead lanes never
+    couple to real lanes in any engine)."""
     d = runner.d
-    npp, E, E_pad = d.npp, runner.E, runner.E_pad
+    npp, E = d.npp, runner.E
+    if L is None:
+        L = runner.E_pad
+    if lanes is None:
+        lanes = np.arange(E)
     dt = runner.dtype
     M = np.asarray(dm.re.M, np.float64)
     Mn = np.eye(npp)
     Mn[: d.n_p, : d.n_p] = M
-    detJ = np.ones(E_pad)
-    detJ[:E] = np.asarray(dm.detJ)[runner._old_of_new]
+    detJ = np.ones(L)
+    detJ[np.asarray(lanes)] = np.asarray(dm.detJ)[runner._old_of_new]
     return {
         "Mn": jnp.asarray(Mn, dt),
         "Mninv": jnp.asarray(np.linalg.inv(Mn), dt),
         "detj": jnp.asarray(detJ, dt)[None],
         "idetj": jnp.asarray(1.0 / detJ, dt)[None],
     }
+
+
+def lame_rows(vp, vs, rho):
+    """THE geophysical parametrization, in one place: theta fields ->
+    (lam, mu, 1/rho).  Used by every gradient engine and with_material."""
+    mu = rho * vs * vs
+    lam = rho * (vp * vp - 2.0 * vs * vs)
+    return lam, mu, 1.0 / rho
+
+
+def theta_of_params(p) -> dict:
+    """Inverse map: ElasticParams material leaves -> {vp, vs, rho}."""
+    return {
+        "vp": jnp.sqrt((p.lam + 2 * p.mu) * p.inv_rho),
+        "vs": jnp.sqrt(p.mu * p.inv_rho),
+        "rho": 1.0 / p.inv_rho,
+    }
+
+
+def _voigt_kinv(dim, dtype):
+    """diag(K^-1): Voigt shear doubling (engineering <- tensor strain)."""
+    if dim == 2:
+        return jnp.asarray([1.0, 1.0, 2.0], dtype)
+    return jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dtype)
+
+
+def make_conjugated_vjp(a_prim, b_prim, dim, n_sig, npp, dtype):
+    """THE energy-conjugation custom-VJP factory (one place for every
+    engine: v1 lane, merged v3, slab-sharded).
+
+    ``a_prim(dd, ww, x)`` / ``b_prim(dd, ww, x)`` are the material-free
+    velocity / strain operators of the engine (any non-differentiable
+    operands — boundary masks — travel as FLOAT leaves of ``ww``).  The
+    returned (A, B) compute the primals and transpose via
+
+        A^T = -detJ (M x K^-1) B' detJ^-1 (M^-1 x I)
+        B^T = -detJ (M x I)    A  detJ^-1 (M^-1 x K),
+
+    with (dd, ww) cotangents structural zeros (XLA DCEs them)."""
+    kinv = _voigt_kinv(dim, dtype)
+    kdiag = 1.0 / kinv
+
+    @jax.custom_vjp
+    def A(dd, ww, x):
+        return a_prim(dd, ww, x)
+
+    @jax.custom_vjp
+    def B(dd, ww, x):
+        return b_prim(dd, ww, x)
+
+    def a_fwd(dd, ww, x):
+        return a_prim(dd, ww, x), (dd, ww)
+
+    def a_bwd(res, ubar):
+        dd, ww = res
+        y = b_prim(dd, ww, _wmul(ubar, ww["Mninv"], ww["idetj"], None,
+                                 dim, npp))
+        sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
+        return (jax.tree.map(jnp.zeros_like, dd),
+                jax.tree.map(jnp.zeros_like, ww), sbar)
+
+    def b_fwd(dd, ww, x):
+        return b_prim(dd, ww, x), (dd, ww)
+
+    def b_bwd(res, ebar):
+        dd, ww = res
+        y = a_prim(dd, ww, _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag,
+                                 n_sig, npp))
+        ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
+        return (jax.tree.map(jnp.zeros_like, dd),
+                jax.tree.map(jnp.zeros_like, ww), ubar)
+
+    A.defvjp(a_fwd, a_bwd)
+    B.defvjp(b_fwd, b_bwd)
+    return A, B
 
 
 def _wmul(x, Mm, dj, kd, C, npp):
@@ -157,56 +236,18 @@ def make_merged_diff_ops(runner, w: dict):
     from ..ops.merged_kernels import stress_merged, vel_merged
 
     d, plan = runner.d, runner.plan
-    dim, n_sig, npp = d.dim, d.n_sig, d.npp
     itp = runner.interpret
-    dt = runner.dtype
-    if dim == 2:
-        kinv = jnp.asarray([1.0, 1.0, 2.0], dt)
-    else:
-        kinv = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dt)
-    kdiag = 1.0 / kinv
 
     def a_prim(dd, ww, sig_lm):
         trs = runner.traction_traces(sig_lm)
         return vel_merged(plan, dd, sig_lm, trs, ww["mask"], itp)[0]
 
     def b_prim(dd, ww, u_lm):
-        trs = _merged_field_traces(runner, u_lm, dim)
+        trs = _merged_field_traces(runner, u_lm, d.dim)
         return stress_merged(plan, dd, u_lm, trs, ww["mask"], itp)[0]
 
-    @jax.custom_vjp
-    def A(dd, ww, sig_lm):
-        return a_prim(dd, ww, sig_lm)
-
-    @jax.custom_vjp
-    def B(dd, ww, u_lm):
-        return b_prim(dd, ww, u_lm)
-
-    def a_fwd(dd, ww, sig_lm):
-        return a_prim(dd, ww, sig_lm), (dd, ww)
-
-    def a_bwd(res, ubar):
-        dd, ww = res
-        x = _wmul(ubar, ww["Mninv"], ww["idetj"], None, dim, npp)
-        y = b_prim(dd, ww, x)
-        sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), sbar)
-
-    def b_fwd(dd, ww, u_lm):
-        return b_prim(dd, ww, u_lm), (dd, ww)
-
-    def b_bwd(res, ebar):
-        dd, ww = res
-        x = _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag, n_sig, npp)
-        y = a_prim(dd, ww, x)
-        ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), ubar)
-
-    A.defvjp(a_fwd, a_bwd)
-    B.defvjp(b_fwd, b_bwd)
-    return A, B
+    return make_conjugated_vjp(a_prim, b_prim, d.dim, d.n_sig, d.npp,
+                               runner.dtype)
 
 
 def make_diff_ops(runner: LaneMajorRunner, w: dict):
@@ -219,53 +260,15 @@ def make_diff_ops(runner: LaneMajorRunner, w: dict):
     inversion), which XLA dead-code-eliminates.
     """
     d = runner.d
-    dim, n_sig, npp = d.dim, d.n_sig, d.npp
-    dt = runner.dtype
-    if dim == 2:
-        kinv = jnp.asarray([1.0, 1.0, 2.0], dt)
-    else:
-        kinv = jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dt)
-    kdiag = 1.0 / kinv
 
-    def a_prim(dd, sig_lm):  # A: sigma-rows -> u-rows (no 1/rho)
+    def a_prim(dd, ww, sig_lm):  # A: sigma-rows -> u-rows (no 1/rho)
         return runner._vel(dd, sig_lm)
 
-    def b_prim(dd, u_lm):  # B': u-rows -> tensor-strain rows
+    def b_prim(dd, ww, u_lm):  # B': u-rows -> tensor-strain rows
         return runner._stress(dd, u_lm)
 
-    @jax.custom_vjp
-    def A(dd, ww, sig_lm):
-        return a_prim(dd, sig_lm)
-
-    @jax.custom_vjp
-    def B(dd, ww, u_lm):
-        return b_prim(dd, u_lm)
-
-    def a_fwd(dd, ww, sig_lm):
-        return a_prim(dd, sig_lm), (dd, ww)
-
-    def a_bwd(res, ubar):
-        dd, ww = res
-        x = _wmul(ubar, ww["Mninv"], ww["idetj"], None, dim, npp)
-        y = b_prim(dd, x)
-        sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), sbar)
-
-    def b_fwd(dd, ww, u_lm):
-        return b_prim(dd, u_lm), (dd, ww)
-
-    def b_bwd(res, ebar):
-        dd, ww = res
-        x = _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag, n_sig, npp)
-        y = a_prim(dd, x)
-        ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), ubar)
-
-    A.defvjp(a_fwd, a_bwd)
-    B.defvjp(b_fwd, b_bwd)
-    return A, B
+    return make_conjugated_vjp(a_prim, b_prim, d.dim, d.n_sig, d.npp,
+                               runner.dtype)
 
 
 class LaneDiffFwi:
@@ -314,11 +317,10 @@ class LaneDiffFwi:
         # inversion defaults for fields theta does not carry (threaded as
         # jit arguments — E-sized closure constants would hit the axon
         # remote-compile size limit)
-        self._theta0 = {
-            "vp": jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho),
-            "vs": jnp.sqrt(p0.mu * p0.inv_rho),
-            "rho": 1.0 / p0.inv_rho,
-        }
+        if receivers is None:
+            raise ValueError("LaneDiffFwi needs receivers (the misfit is "
+                             "a seismogram misfit)")
+        self._theta0 = theta_of_params(p0)
         # aniso="vti" (3D): theta may carry Thomsen epsilon/delta/gamma
         # per element; the stress material application becomes the full
         # per-element Voigt C contraction (the custom VJPs are
@@ -350,18 +352,8 @@ class LaneDiffFwi:
             lanes = r._slane(np.arange(self.E))
             # mass weights + mask: detj placed at real lanes, dead lanes 1
             d = r.d
-            M = np.asarray(dm.re.M, np.float64)
-            Mn = np.eye(d.npp)
-            Mn[: d.n_p, : d.n_p] = M
-            detJ = np.ones(self._L)
-            detJ[lanes] = np.asarray(dm.detJ)[r._old_of_new]
-            self.w = {
-                "Mn": jnp.asarray(Mn, r.dtype),
-                "Mninv": jnp.asarray(np.linalg.inv(Mn), r.dtype),
-                "detj": jnp.asarray(detJ, r.dtype)[None],
-                "idetj": jnp.asarray(1.0 / detJ, r.dtype)[None],
-                "mask": r.mask,
-            }
+            self.w = _mass_weights(dm, r, lanes=lanes, L=self._L)
+            self.w["mask"] = r.mask
             self.A, self.B = make_merged_diff_ops(r, self.w)
             # stress damp rows (the production merged path folds them into
             # stress_axpy; the diff path damps via compose_lf_step's post)
@@ -454,8 +446,7 @@ class LaneDiffFwi:
             Cp = jnp.zeros(C.shape[:2] + (L,), self.dtype)
             Cp = Cp.at[:, :, self._lanes].set(C)
             return {"C": Cp, "irho": place(irho, 1.0)}
-        mu = rho * vs * vs
-        lam = rho * (vp * vp - 2.0 * vs * vs)
+        lam, mu, _ = lame_rows(vp, vs, rho)
         return {"lam": place(lam, 0.0), "mu": place(mu, 0.0),
                 "irho": place(irho, 1.0)}
 
@@ -623,9 +614,9 @@ class LaneDiffFwi:
         n_shots must be divisible by the mesh size (pad acquisition with
         repeated shots and drop duplicates from the misfit if needed).
         """
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
+        shard_map = jax.shard_map
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("shot",))
         nd = mesh.shape["shot"]
@@ -658,7 +649,7 @@ class LaneDiffFwi:
                           jax.tree.map(lambda _: P("shot"), self.src),
                           P("shot")),
                 out_specs=(rep, rep),
-                check_rep=False)
+                check_vma=False)
             def vg_shard(theta, defaults, dd, ww, aux, src_l, obs_l):
                 v, g = jax.value_and_grad(local_loss)(
                     theta, defaults, dd, ww, aux, src_l, obs_l)
@@ -675,6 +666,68 @@ class LaneDiffFwi:
             return vg
 
         return factory
+
+    def source_vg_factory(self, taps=None, with_theta: bool = False):
+        """Per-shot source-wavelet gradients (FWI source estimation).
+
+        In production FWI the wavelet is rarely known; this inverts the
+        per-shot Ricker parameters ``{"amp", "f0", "t0"}`` (each (S,))
+        jointly with — or independently of — the material model.  The
+        wavelet enters each step as r(t) = amp*ricker(t, f0, t0) through
+        the injection closures, OUTSIDE the conjugated custom-VJP
+        operators, so plain AD differentiates it exactly; each shot's
+        wavelet gradient is independent (stacked, not summed).
+
+        Returns ``vg(wav, theta) -> (misfit, gwav)`` or, with
+        ``with_theta``, ``(misfit, gwav, gtheta)`` where gtheta is the
+        shot-summed material gradient from the same backward sweeps.
+        """
+        if self.observed is None:
+            raise ValueError("observed data not set (pass at construction "
+                             "or assign .observed, e.g. from synth())")
+        obs = self.observed
+        if taps is not None:
+            from .fwi import lowpass
+            obs = lowpass(jnp.asarray(obs, self.dtype), taps, axis=1)
+        obs_np = np.asarray(obs)
+        src_np = jax.tree.map(np.asarray, self.src)
+        r = self.runner
+        aux = self._aux()
+        wav_keys = ("amp", "f0", "t0")
+
+        def loss(wav_k, theta, defaults, dd, ww, aux_, src_rest, obs_s,
+                 taps_):
+            src_k = {**src_rest, **wav_k}
+            return self._loss_one(theta, defaults, dd, ww, aux_, src_k,
+                                  obs_s, taps_)
+
+        vg_one = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1) if with_theta else 0))
+
+        def vg(wav, theta):
+            tot_v, gt = 0.0, None
+            gw = {kk: [] for kk in wav_keys}
+            for k in range(self.n_shots):
+                wav_k = {kk: jnp.asarray(wav[kk][k], self.dtype)
+                         for kk in wav_keys}
+                src_rest = {kk: v[k] for kk, v in src_np.items()
+                            if kk not in wav_keys}
+                v, g = vg_one(wav_k, theta, self._theta0, r.d, self.w,
+                              aux, src_rest, obs_np[k], taps)
+                if with_theta:
+                    gwk, gtk = g
+                    gtk = jax.tree.map(np.asarray, gtk)
+                    gt = gtk if gt is None else jax.tree.map(
+                        np.add, gt, gtk)
+                else:
+                    gwk = g
+                tot_v += float(v)
+                for kk in wav_keys:
+                    gw[kk].append(np.asarray(gwk[kk]))
+            gws = {kk: np.stack(v) for kk, v in gw.items()}
+            return (tot_v, gws, gt) if with_theta else (tot_v, gws)
+
+        return vg
 
     def loss_shot(self, theta, k: int, taps=None):
         """Single-shot misfit (no grad) — test/diagnostic surface."""
