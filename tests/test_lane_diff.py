@@ -404,3 +404,55 @@ def test_merged_engine_gradient_matches_lane(dim):
     assert scale > 0
     np.testing.assert_allclose(np.asarray(g2["vp"]), np.asarray(g1["vp"]),
                                rtol=1e-9, atol=1e-13 * scale)
+
+
+def test_source_wavelet_gradient_finite_difference():
+    """Source estimation: per-shot (amp, f0, t0) gradients FD-checked
+    through the full lane scan; joint mode returns the same theta grad
+    as vg_factory."""
+    dm, p0, ex = _setup_2d(het=False, seed=11)
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 12
+    srcs = [_point_src(dm, pos=(0.35, 0.55)),
+            _point_src(dm, pos=(0.6, 0.45), f0=8.0, t0=0.05)]
+    rcv = _rcv(dm)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots(srcs), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    theta = {"vp": jnp.asarray(vp0)}
+    # observed from the TRUE wavelets; invert from perturbed ones
+    ldf.observed = ldf.synth(theta)
+    wav0 = {kk: np.asarray(ldf.src[kk]) for kk in ("amp", "f0", "t0")}
+    wav = {"amp": wav0["amp"] * 1.15, "f0": wav0["f0"] * 0.95,
+           "t0": wav0["t0"] + 0.003}
+
+    vg = ldf.source_vg_factory()
+    v0, gw = vg(wav, theta)
+    assert v0 > 1e-12
+    for kk in ("amp", "f0", "t0"):
+        # per-shot, per-source-point gradients (S, K) like the wavelet
+        assert gw[kk].shape == wav0[kk].shape
+
+    # central FD on each wavelet parameter of each shot
+    for kk, eps in (("amp", 1e-4), ("f0", 1e-4), ("t0", 1e-6)):
+        for s in range(2):
+            wp = {k2: v.copy() for k2, v in wav.items()}
+            wm = {k2: v.copy() for k2, v in wav.items()}
+            wp[kk][s] += eps
+            wm[kk][s] -= eps
+            fd = (vg(wp, theta)[0] - vg(wm, theta)[0]) / (2 * eps)
+            np.testing.assert_allclose(np.sum(gw[kk][s]), fd, rtol=2e-5,
+                                       err_msg=f"{kk}[{s}]")
+
+    # joint mode: theta gradient from the same sweeps == vg_factory's
+    # at the same wavelets
+    for kk in ("amp", "f0", "t0"):
+        ldf.src[kk] = jnp.asarray(wav[kk], ldf.dtype)
+    v2, gw2, gt = ldf.source_vg_factory(with_theta=True)(wav, theta)
+    np.testing.assert_allclose(v2, v0, rtol=1e-12)
+    v3, gt_ref = ldf.vg_factory(None)(theta)
+    np.testing.assert_allclose(v3, v0, rtol=1e-10)
+    scale = np.abs(np.asarray(gt_ref["vp"])).max()
+    np.testing.assert_allclose(np.asarray(gt["vp"]),
+                               np.asarray(gt_ref["vp"]),
+                               rtol=1e-9, atol=1e-13 * scale)
