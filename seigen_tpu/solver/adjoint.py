@@ -176,3 +176,77 @@ def make_fwi_gradient(
         return {k: full[k] for k in fields}
 
     return value_and_grad, init_theta
+
+
+def make_visco_fwi_gradient(
+    p: ElasticParams,
+    w,
+    state0: State,
+    dt: float,
+    n_steps: int,
+    src: SourceData,
+    receivers: ReceiverData,
+    observed: jax.Array,
+    f_band: tuple,
+    L: int = 3,
+    q0: float = 50.0,
+    damp: jax.Array | None = None,
+    segment: int | None = None,
+):
+    """Attenuation FWI: jitted theta -> (misfit, grads) for per-element
+    Q^-1 fields, theta = {"qinv_kappa": (E,), "qinv_mu": (E,)}.
+
+    Inverts INVERSE quality factors (the natural variable: the anelastic
+    coefficients are linear in Q^-1, purely elastic is qinv=0, and a
+    simple qinv >= 0 projection keeps the model physical — 1/Q has none
+    of Q's sensitivity blow-up as Q -> inf).  The ViscoData anelastic
+    coefficients are rebuilt differentiably inside the loss
+    (y = qinv x y_unit, ops/viscoelastic.py build_visco:118-127) and the
+    gradient rides plain reverse-mode AD through the upwind-RK4 memory-
+    variable scan (solver/rk4.py run_rk4_visco), checkpointed in
+    ``segment`` chunks because the carry includes the (E, n_p, n_sig, L)
+    memory variables.
+
+    The elastic material stays at ``p``'s values: upwind flux matrices
+    (w) embed the elastic impedances, so elastic fields must be inverted
+    on the central-flux path (make_fwi_gradient / solver.lane_diff) —
+    Q-after-velocity is the standard production sequence anyway.
+    """
+    from ..ops.viscoelastic import ViscoData, fit_anelastic_unit
+    from .rk4 import run_rk4_visco
+
+    dtype = p.Ginv.dtype
+    w_l, y1 = fit_anelastic_unit(float(f_band[0]), float(f_band[1]), L)
+    omegas = jnp.asarray(w_l, dtype)
+    y_unit = jnp.asarray(y1, dtype)
+    E = p.Ginv.shape[0]
+
+    @jax.jit
+    def _vg(theta: dict, src_, observed_):
+        def loss(theta):
+            v = ViscoData(
+                omegas=omegas,
+                y_kappa=jnp.outer(theta["qinv_kappa"], y_unit),
+                y_mu=jnp.outer(theta["qinv_mu"], y_unit),
+                L=L,
+            )
+            _, _, seis = run_rk4_visco(
+                p, w, v, state0, dt, n_steps, src=src_, damp=damp,
+                receivers=receivers, segment=segment)
+            res = seis - observed_
+            return 0.5 * jnp.sum(res * res)
+
+        return jax.value_and_grad(loss)(theta)
+
+    def value_and_grad(theta: dict, src_=None, observed_=None):
+        """Optional per-call (src_, observed_) overrides: multi-shot
+        loops reuse ONE compiled program instead of one per shot (fresh
+        XLA compiles cost ~14 min through this host's TPU tunnel)."""
+        return _vg(theta, src if src_ is None else src_,
+                   observed if observed_ is None else observed_)
+
+    def init_theta():
+        q = jnp.full((E,), 1.0 / q0, dtype)
+        return {"qinv_kappa": q, "qinv_mu": q}
+
+    return value_and_grad, init_theta

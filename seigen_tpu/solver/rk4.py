@@ -125,8 +125,14 @@ def run_rk4_visco(
     src: SourceData | None = None,
     damp: jax.Array | None = None,
     receivers: ReceiverData | None = None,
+    segment: int | None = None,
 ):
-    """Viscoelastic run; returns (final State, final xi, seismograms)."""
+    """Viscoelastic run; returns (final State, final xi, seismograms).
+
+    ``segment`` (must divide n_steps) rematerializes the scan in
+    ``jax.checkpoint``-ed chunks — required for reverse-mode at scale
+    because the carry includes the (E, n_p, n_sig, L) memory variables
+    (Q-FWI gradients, solver/adjoint.py make_visco_fwi_gradient)."""
     step = make_rk4_step_visco(p, w, v, dt, src=src, damp=damp)
     dt_ = jnp.asarray(dt, dtype=p.Ginv.dtype)
     if xi0 is None:
@@ -140,7 +146,21 @@ def run_rk4_visco(
         ys = sample(receivers, state.u) if receivers is not None else None
         return (state, xi), ys
 
-    (fin, xi), ys = jax.lax.scan(body, (state0, xi0), jnp.arange(n_steps))
+    if not segment or segment >= n_steps:
+        (fin, xi), ys = jax.lax.scan(body, (state0, xi0),
+                                     jnp.arange(n_steps))
+        return fin, xi, ys
+    if n_steps % segment:
+        raise ValueError(f"segment {segment} must divide n_steps {n_steps}")
+
+    @jax.checkpoint
+    def chunk(carry, n0):
+        return jax.lax.scan(body, carry, n0 + jnp.arange(segment))
+
+    (fin, xi), ys = jax.lax.scan(chunk, (state0, xi0),
+                                 segment * jnp.arange(n_steps // segment))
+    if ys is not None:
+        ys = ys.reshape((n_steps,) + ys.shape[2:])
     return fin, xi, ys
 
 
