@@ -222,3 +222,30 @@ def test_explosive_source_cli_resume(tmp_path):
                   "--degree", "1", "--T", "0.1", "--cpu",
                   "--resume", ck])
     assert r2.returncode == 0, r2.stdout + r2.stderr
+
+
+def test_fwi_cli_est_source(tmp_path):
+    """--est-source: per-shot wavelet estimated by Adam before the
+    velocity inversion; source misfit must drop substantially."""
+    r = run_cli(["scripts/fwi.py", "--n", "8", "--degree", "1",
+                 "--iters", "2", "--shots", "2", "--T", "0.5", "--cpu",
+                 "--grad-path", "lane", "--est-source"], timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["src_misfit_last"] < 0.1 * summary["src_misfit_first"]
+
+
+def test_fwi_cli_invert_q(tmp_path):
+    """--invert-q: attenuation FWI descends and improves the Q model."""
+    out = str(tmp_path / "q.npz")
+    r = run_cli(["scripts/fwi.py", "--n", "8", "--degree", "1",
+                 "--iters", "6", "--shots", "2", "--T", "0.8", "--cpu",
+                 "--invert-q", "--out", out], timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["misfit_last"] < summary["misfit_first"]
+    assert summary["qinv_err_reduction"] < 1.0
+    z = np.load(out)
+    assert np.all(np.isfinite(z["qinv_final"]))
