@@ -729,6 +729,84 @@ class LaneDiffFwi:
 
         return vg
 
+    def moment_vg_factory(self, taps=None):
+        """Per-shot moment-tensor (CMT) gradients.
+
+        Inverts the Voigt moment vector m (S, n_sig) of moment-type
+        shots (PointSource(kind="moment"), solver/source.py:145-150):
+        their stress pattern factors as spatial_template (x) M, so the
+        template rows are extracted once on the host (from the
+        largest-norm Voigt component — the recovered m is relative to
+        that normalization; absolute scale rides amp) and the pattern is
+        rebuilt differentiably inside the loss.  The moment enters the
+        injection linearly OUTSIDE the custom-VJP operators, so plain AD
+        gives exact per-shot gradients — GCMT-style source mechanism
+        inversion on the fast path.
+
+        Returns ``vg(m, theta) -> (misfit, gm)`` with gm (S, n_sig),
+        stacked per shot.
+        """
+        if self.observed is None:
+            raise ValueError("observed data not set")
+        obs = self.observed
+        if taps is not None:
+            from .fwi import lowpass
+            obs = lowpass(jnp.asarray(obs, self.dtype), taps, axis=1)
+        obs_np = np.asarray(obs)
+        src_np = jax.tree.map(np.asarray, self.src)
+        r = self.runner
+        d = r.d
+        aux = self._aux()
+        n_sig, npp = d.n_sig, d.npp
+
+        # host-side template extraction + factorization check
+        vs = src_np["vs"].reshape(self.n_shots, n_sig, npp, -1)
+        T, m0 = [], []
+        for s in range(self.n_shots):
+            norms = np.linalg.norm(vs[s].reshape(n_sig, -1), axis=1)
+            c = int(np.argmax(norms))
+            if norms[c] == 0:
+                raise ValueError(f"shot {s} has no stress pattern — "
+                                 "moment inversion needs moment shots")
+            Ts = vs[s, c]
+            ms = np.einsum("cpk,pk->c", vs[s], Ts) / np.sum(Ts * Ts)
+            resid = vs[s] - ms[:, None, None] * Ts[None]
+            if np.linalg.norm(resid) > 1e-6 * norms[c]:
+                raise ValueError(
+                    f"shot {s} stress pattern does not factor as "
+                    "template (x) Voigt — built from mixed sources?")
+            T.append(Ts)
+            m0.append(ms)
+        T = np.stack(T)  # (S, npp, K)
+        m0 = np.stack(m0)  # (S, n_sig)
+
+        def loss(m_k, theta, defaults, dd, ww, aux_, src_k, obs_s,
+                 taps_):
+            vs_k = jnp.einsum("pk,c->cpk", src_k["vsT"], m_k).reshape(
+                n_sig * npp, -1)
+            src_full = {kk: v for kk, v in src_k.items() if kk != "vsT"}
+            src_full["vs"] = vs_k
+            return self._loss_one(theta, defaults, dd, ww, aux_,
+                                  src_full, obs_s, taps_)
+
+        vg_one = jax.jit(jax.value_and_grad(loss))
+
+        def vg(m, theta):
+            tot_v, gm = 0.0, []
+            for k in range(self.n_shots):
+                src_k = {kk: v[k] for kk, v in src_np.items()
+                         if kk != "vs"}
+                src_k["vsT"] = jnp.asarray(T[k], self.dtype)
+                v, g = vg_one(jnp.asarray(m[k], self.dtype), theta,
+                              self._theta0, r.d, self.w, aux, src_k,
+                              obs_np[k], taps)
+                tot_v += float(v)
+                gm.append(np.asarray(g))
+            return tot_v, np.stack(gm)
+
+        vg.m_init = m0  # factorization of the CONSTRUCTED shots
+        return vg
+
     def loss_shot(self, theta, k: int, taps=None):
         """Single-shot misfit (no grad) — test/diagnostic surface."""
         r = self.runner

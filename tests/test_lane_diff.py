@@ -456,3 +456,63 @@ def test_source_wavelet_gradient_finite_difference():
     np.testing.assert_allclose(np.asarray(gt["vp"]),
                                np.asarray(gt_ref["vp"]),
                                rtol=1e-9, atol=1e-13 * scale)
+
+
+def test_moment_tensor_gradient_and_recovery():
+    """CMT inversion: per-shot Voigt moment gradients FD-checked through
+    the full lane scan; Adam from a perturbed mechanism recovers the
+    true one (misfit down, moment vector closer in direction)."""
+    import optax
+
+    dm, p0, ex = _setup_2d(het=False, seed=13)
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 14
+    h = float(dm.h.max())
+    m_true = (0.3, -0.2, 1.0)  # oblique double-couple-ish mechanism
+    src = build_sources(
+        dm, [PointSource(position=(0.45, 0.55), f0=10.0, t0=0.04,
+                         amplitude=100.0, radius=2.5 * h, kind="moment",
+                         moment=m_true)],
+        dtype=jnp.float64)
+    rcv = _rcv(dm, R=5)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True)
+    ldf.observed = ldf.synth({})  # observed with the TRUE mechanism
+
+    vg = ldf.moment_vg_factory()
+    m_init = vg.m_init  # factorization of the constructed (true) shots
+    np.testing.assert_allclose(m_init[0] / m_init[0, 2], m_true,
+                               rtol=1e-10)
+
+    rng = np.random.default_rng(1)
+    m = m_init + 0.5 * np.abs(m_init).max() * rng.standard_normal(
+        m_init.shape)
+    v0, g = vg(m, {})
+    assert v0 > 1e-12 and g.shape == m.shape
+
+    # FD on each Voigt component
+    for c in range(3):
+        eps = 1e-5
+        mp, mm = m.copy(), m.copy()
+        mp[0, c] += eps
+        mm[0, c] -= eps
+        fd = (vg(mp, {})[0] - vg(mm, {})[0]) / (2 * eps)
+        np.testing.assert_allclose(g[0, c], fd, rtol=2e-6,
+                                   err_msg=f"Voigt {c}")
+
+    # mechanism recovery by Adam
+    def cosang(a, b):
+        return float(np.dot(a.ravel(), b.ravel())
+                     / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cos0 = cosang(m, m_init)
+    opt = optax.adam(0.05 * float(np.abs(m_init).max()))
+    x = jnp.asarray(m)
+    ost = opt.init(x)
+    v_last = v0
+    for _ in range(30):
+        v_last, g = vg(np.asarray(x), {})
+        upd, ost = opt.update(jnp.asarray(g), ost, x)
+        x = optax.apply_updates(x, upd)
+    assert v_last < 0.05 * v0
+    assert cosang(np.asarray(x), m_init) > max(cos0, 0.99)
