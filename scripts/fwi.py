@@ -69,6 +69,12 @@ def main():
                     help="with --grad-path lane: lay the shot axis over "
                          "this many devices (shot-DP psum'd gradients; "
                          "0 = host-accumulated per-shot evaluations)")
+    ap.add_argument("--inv-checkpoint", type=str, default=None,
+                    help="inversion-state npz written every iteration; "
+                         "with --inv-resume a killed inversion continues "
+                         "bitwise from it (this host's TPU tunnel goes "
+                         "transiently UNAVAILABLE on long runs)")
+    ap.add_argument("--inv-resume", action="store_true")
     ap.add_argument("--invert-q", action="store_true",
                     help="attenuation FWI demo: observed data from a "
                          "low-Q anomaly in the background ELASTIC model, "
@@ -387,6 +393,7 @@ def main():
         bounds={"vp": (lo, hi)}, damp=damp, segment=args.segment,
         vel_op=vel_op, stress_op=stress_op, batch=args.batch,
         vg_factory=vg_factory,
+        checkpoint_path=args.inv_checkpoint, resume=args.inv_resume,
         log=lambda s: print(s, flush=True))
 
     vp0 = jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho)

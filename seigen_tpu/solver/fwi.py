@@ -20,15 +20,15 @@ standard FWI practice re-expressed as jit-friendly JAX:
 - **Box bounds**: projected after every update (vp/vs/rho physical
   ranges).
 
-Gradient path note (round-2 verdict item 7): gradients ride the EINSUM
-formulations, with the structured-mesh roll exchange
-(ops/structured_exchange.make_structured_ops) as the fast variant —
-every op there is pure jnp, so reverse-mode AD is exact through the
-whole LF4 scan.  The Pallas lane kernels have no VJP rules; a custom_vjp
-over them would have to hand-maintain the transposed kernels for every
-physics variant, which contradicts the single-source physics rule
-(CLAUDE.md).  Measured cost of the choice at the demo scale is recorded
-in BENCH_NOTES.md ("FWI gradient path").
+Gradient path note: by default gradients ride the EINSUM formulations
+(pure jnp, reverse-mode exact through the whole LF4 scan; the
+structured-mesh roll exchange is the fast variant).  Round 3 added the
+FAST gradient path — pass ``vg_factory`` from
+`solver.lane_diff.LaneDiffFwi`: energy-conjugation custom VJPs make each
+Pallas lane operator's transpose one application of the OTHER kernel (no
+hand-maintained transposed kernels — the ops are material-free, so the
+single-source physics rule holds).  A/B costs in BENCH_NOTES.md ("FWI
+gradient path").
 """
 
 from __future__ import annotations
@@ -134,6 +134,9 @@ def invert(
     theta0: dict | None = None,
     vg_factory=None,
     log=None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
 ) -> FwiResult:
     """Multi-stage FWI: for each band (low -> full), minimize the
     low-passed multi-shot L2 misfit over ``theta`` = {field: (E,)}.
@@ -145,6 +148,13 @@ def invert(
     — None = unfiltered full band.  ``bounds``: {field: (lo, hi)} box
     projection.  ``optimizer``: "adam" | "lbfgs" | "gd" (max-normalized
     descent, the round-2 demo's update).  ``iters`` per band.
+
+    ``checkpoint_path`` + ``resume``: the inversion state (band, iter,
+    theta, optax leaves, misfit history) is written atomically every
+    ``checkpoint_every`` iterations and restored bitwise on resume —
+    long inversions survive the transient TPU-UNAVAILABLE faults this
+    host's tunnel exhibits (BENCH_NOTES round 3).  adam/gd only (L-BFGS
+    carries linesearch closures in its state).
 
     Returns FwiResult with the final theta, per-iteration misfits, and
     wall-clock.
@@ -230,8 +240,61 @@ def invert(
 
     misfits: list = []
     band_log: list = []
+
+    # --- inversion-state checkpointing (adam/gd) ----------------------
+    import json as _json
+    from pathlib import Path
+
+    ck = None
+    if checkpoint_path:
+        if optimizer == "lbfgs":
+            raise ValueError("checkpoint_path supports adam/gd only")
+        ck = Path(checkpoint_path)
+        if ck.suffix != ".npz":
+            ck = ck.with_name(ck.name + ".npz")
+    start_band, start_it = 0, 0
+    resume_opt_leaves = None
+    if ck is not None and resume and ck.exists():
+        data = np.load(ck)
+        start_band = int(data["band_idx"])
+        start_it = int(data["it"]) + 1
+        misfits = [float(v) for v in data["misfits"]]
+        band_log = _json.loads(str(data["band_log"]))
+        theta = {k: jnp.asarray(data[f"theta_{k}"])
+                 for k in _json.loads(str(data["theta_keys"]))}
+        resume_opt_leaves = [jnp.asarray(data[f"opt_{i}"])
+                             for i in range(int(data["n_opt"]))]
+        if start_it >= iters:  # saved at a band boundary: the band-end
+            # log entry is appended AFTER the save, so restore it here
+            band_log.append({"fc": bands[start_band],
+                             "misfit_end": misfits[-1]})
+            start_band, start_it, resume_opt_leaves = (
+                start_band + 1, 0, None)
+        if log:
+            log(f"resumed from {ck}: band_idx={start_band} "
+                f"it={start_it}")
+
+    def save_ck(band_idx, it, opt_state):
+        payload = {
+            "band_idx": band_idx, "it": it,
+            "misfits": np.asarray(misfits, np.float64),
+            "band_log": _json.dumps(band_log),
+            "theta_keys": _json.dumps(list(theta.keys())),
+        }
+        for k, v in theta.items():
+            payload[f"theta_{k}"] = np.asarray(v)
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        payload["n_opt"] = len(leaves)
+        for i, lv in enumerate(leaves):
+            payload[f"opt_{i}"] = np.asarray(lv)
+        tmp = ck.with_name(ck.stem + ".tmp.npz")
+        np.savez(tmp, **payload)  # atomic: write-then-rename
+        tmp.replace(ck)
+
     t_start = time.perf_counter()
-    for fc in bands:
+    for band_idx, fc in enumerate(bands):
+        if band_idx < start_band:
+            continue
         taps = (None if fc is None
                 else lowpass_taps(dt, float(fc), dtype=dtype))
         loss = make_loss(taps)
@@ -269,6 +332,12 @@ def invert(
             opt = (optax.adam(lr) if optimizer == "adam"
                    else optax.sgd(1.0))
             opt_state = opt.init(theta)
+            it_first = 0
+            if band_idx == start_band and resume_opt_leaves is not None:
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    resume_opt_leaves)
+                it_first = start_it
 
             @jax.jit
             def apply_update(grad, opt_state, theta):
@@ -288,12 +357,16 @@ def invert(
                 return project(optax.apply_updates(theta, updates)), \
                     opt_state
 
-            for it in range(iters):
+            for it in range(it_first, iters):
                 value, grad = vg(theta)
                 theta, opt_state = apply_update(grad, opt_state, theta)
                 misfits.append(float(value))
                 if log:
                     log(f"band={fc} iter={it} misfit={float(value):.4e}")
+                if ck is not None and (it + 1 == iters
+                                       or (it + 1) % checkpoint_every
+                                       == 0):
+                    save_ck(band_idx, it, opt_state)
         band_log.append({"fc": fc, "misfit_end": misfits[-1]})
 
     return FwiResult(theta=theta, misfits=misfits, bands=band_log,

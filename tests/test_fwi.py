@@ -131,3 +131,41 @@ def test_invert_frequency_continuation_runs():
     # full energy) — assert descent WITHIN each band's own trajectory
     assert res.misfits[2] < res.misfits[0]
     assert res.misfits[5] < res.misfits[3]
+
+
+def test_invert_checkpoint_resume_bitwise(tmp_path):
+    """Interrupting an inversion and resuming from the checkpoint
+    reproduces the uninterrupted run bitwise — theta, misfit history and
+    band log — both mid-band and at a band boundary.
+
+    Interruption is emulated by running a truncated schedule with
+    checkpointing (adam is schedule-free, so the optimizer state after k
+    iterations of band 0 is identical whether the schedule planned 2 or
+    3 iterations)."""
+    (p0, st0, dt, n_steps, shots, rcv, observed, vp_true, damp,
+     f0) = _fwi_case()
+    kw = dict(fields=("vp",), optimizer="adam", lr=0.02, iters=3,
+              bands=(0.5 * f0, None), smooth_iters=1,
+              bounds={"vp": (1.5, 2.5)}, damp=damp)
+
+    ref = invert(p0, st0, dt, n_steps, shots, rcv, observed, **kw)
+
+    # (a) mid-band kill: 2 of band 0's 3 iterations done
+    cka = str(tmp_path / "cut_midband")
+    invert(p0, st0, dt, n_steps, shots, rcv, observed,
+           **{**kw, "iters": 2, "bands": (0.5 * f0,)},
+           checkpoint_path=cka)
+    # (b) band-boundary kill: band 0 complete, band 1 not started
+    ckb = str(tmp_path / "cut_boundary")
+    invert(p0, st0, dt, n_steps, shots, rcv, observed,
+           **{**kw, "bands": (0.5 * f0,)},
+           checkpoint_path=ckb)
+
+    for ck in (cka, ckb):
+        res = invert(p0, st0, dt, n_steps, shots, rcv, observed, **kw,
+                     checkpoint_path=ck, resume=True)
+        np.testing.assert_array_equal(np.asarray(res.theta["vp"]),
+                                      np.asarray(ref.theta["vp"]),
+                                      err_msg=ck)
+        assert res.misfits == ref.misfits, ck
+        assert res.bands == ref.bands, ck
