@@ -58,13 +58,17 @@ def main():
                          "host — required for big 3D runs on this host's "
                          "TPU service, which faults batched-shot programs "
                          "at E~83k (BENCH_NOTES round 3)")
-    ap.add_argument("--grad-path", choices=["roll", "lane", "merged"],
+    ap.add_argument("--grad-path",
+                    choices=["roll", "lane", "merged", "lane_u"],
                     default="roll",
                     help="gradient formulation: 'roll' = AD through the "
                          "roll-exchange einsum step; 'lane' = energy-"
                          "conjugation custom VJPs through the Pallas lane "
                          "kernels (solver/lane_diff.py) — forward AND "
-                         "adjoint sweeps at lane-kernel rate")
+                         "adjoint sweeps at lane-kernel rate; 'lane_u' = "
+                         "the same through the unstructured face-"
+                         "bijection runner (works on any conforming "
+                         "mesh)")
     ap.add_argument("--grad-shards", type=int, default=0,
                     help="with --grad-path lane: lay the shot axis over "
                          "this many devices (shot-DP psum'd gradients; "
@@ -283,10 +287,10 @@ def main():
     ex = detect_structured(dm)
     vel_op = stress_op = None
     ldf = None
-    if args.grad_path in ("lane", "merged"):
-        if ex is None:
+    if args.grad_path in ("lane", "merged", "lane_u"):
+        if ex is None and args.grad_path != "lane_u":
             raise SystemExit("--grad-path lane/merged needs a structured "
-                             "mesh")
+                             "mesh (lane_u works on any)")
         from seigen_tpu.solver.lane_diff import LaneDiffFwi
 
         ldf = LaneDiffFwi(

@@ -308,7 +308,7 @@ class LaneDiffFwi:
     ):
         if interpret is None:  # Pallas on CPU requires interpret mode
             interpret = jax.devices()[0].platform == "cpu"
-        if engine not in ("lane", "merged"):
+        if engine not in ("lane", "merged", "lane_u"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "merged" and order != 4:
             raise ValueError("engine='merged' is LF4-only")
@@ -360,9 +360,22 @@ class LaneDiffFwi:
             self._damp_s = (None if d.damp is None
                             else jnp.tile(d.damp, (d.n_sig, 1)))
         else:
-            self.runner = r = LaneMajorRunner(
-                _material_free(p0), ex, dt, order=order, damp=damp,
-                receivers=receivers, interpret=interpret, **kw)
+            if engine == "lane_u":
+                # UNSTRUCTURED meshes (ex ignored): the conjugation
+                # identity is a property of the conforming-mesh bilinear
+                # form, not of the structured exchange, so the face-
+                # bijection runner's material-free ops transpose the
+                # same way (exactness asserted in tests/test_lane_diff).
+                from .lane_unstructured import UnstructuredLaneRunner
+
+                self.runner = r = UnstructuredLaneRunner(
+                    _material_free(p0), dt, order=order, damp=damp,
+                    receivers=receivers, interpret=interpret,
+                    centroids=np.asarray(dm.coords.mean(axis=1)), **kw)
+            else:
+                self.runner = r = LaneMajorRunner(
+                    _material_free(p0), ex, dt, order=order, damp=damp,
+                    receivers=receivers, interpret=interpret, **kw)
             self.E = r.E
             self._L = r.E_pad
             lanes = np.arange(self.E)

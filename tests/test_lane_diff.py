@@ -516,3 +516,73 @@ def test_moment_tensor_gradient_and_recovery():
         x = optax.apply_updates(x, upd)
     assert v_last < 0.05 * v0
     assert cosang(np.asarray(x), m_init) > max(cos0, 0.99)
+
+
+def test_unstructured_gradient_matches_einsum_ad():
+    """engine='lane_u': FWI gradients through the face-bijection
+    unstructured lane runner == plain AD through the einsum step, on a
+    scrambled (structure-free) mesh with heterogeneous material and
+    mixed BCs — the conjugation identity is mesh-agnostic."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(17)
+    topo = rect_mesh(4, 4)
+    topo = _dc.replace(topo, cells=topo.cells[rng.permutation(
+        topo.num_cells)], structure=None)
+    extents = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(topo, 2, bc_fn=absorbing_bc_fn(
+        extents, free_sides=[(1, "hi")]))
+    E, n_p = dm.num_elements, dm.re.n_p
+    rho = 1.0 + rng.random(E)
+    vp = 2.0 + rng.random(E)
+    vs = 0.8 + 0.4 * rng.random(E)
+    p0 = build_params(dm, Material(rho=rho, vp=vp, vs=vs),
+                      dtype=jnp.float64)
+    assert detect_structured(dm) is None  # genuinely unstructured
+    dt = cfl_dt(float(dm.h.min()), 3.0, 2, 0.3)
+    n_steps = 12
+    src, rcv = _point_src(dm), _rcv(dm)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+        jnp.float64)
+
+    ldf = LaneDiffFwi(p0, dm, None, dt, n_steps, stack_shots([src]), rcv,
+                      None, damp=damp, block=8, interpret=True,
+                      engine="lane_u")
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.07)})
+
+    st0 = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+                s=jnp.zeros((E, n_p, 3), jnp.float64))
+    vg_ref, init_theta = make_fwi_gradient(
+        p0, st0, dt, n_steps, src, rcv, jnp.asarray(ldf.observed[0]),
+        fields=("vp", "vs", "rho"), order=4, damp=damp)
+    theta = init_theta()
+    v_ref, g_ref = vg_ref(theta)
+    v_lane, g_lane = ldf.vg_factory(None)(theta)
+    assert float(v_ref) > 1e-10
+    np.testing.assert_allclose(float(v_ref), v_lane, rtol=1e-6)
+    for k in ("vp", "vs", "rho"):
+        scale = np.abs(np.asarray(g_ref[k])).max()
+        assert scale > 0
+        np.testing.assert_allclose(
+            np.asarray(g_lane[k]), np.asarray(g_ref[k]),
+            rtol=1e-5, atol=1e-8 * scale, err_msg=k)
+
+    # transpose exactness of the unstructured custom ops themselves
+    d = ldf.runner.d
+    r = ldf.runner
+    E_pad, npp = r.E_pad, d.npp
+
+    def zpad(x, C):
+        xr = x.reshape(C, npp, E_pad).copy()
+        xr[:, d.n_p:, :] = 0
+        xr[:, :, r.E:] = 0
+        return jnp.asarray(xr.reshape(C * npp, E_pad))
+
+    sig = zpad(rng.random((3 * npp, E_pad)), 3)
+    ubar = zpad(rng.random((2 * npp, E_pad)), 2)
+    out, vjp = jax.vjp(lambda s: ldf.A(d, ldf.w, s), sig)
+    lhs = jnp.vdot(ubar, out)
+    rhs = jnp.vdot(vjp(ubar)[0], sig)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-11)
