@@ -73,6 +73,13 @@ def main():
                     help="with --grad-path lane: lay the shot axis over "
                          "this many devices (shot-DP psum'd gradients; "
                          "0 = host-accumulated per-shot evaluations)")
+    ap.add_argument("--dd-shards", type=int, default=0,
+                    help="domain-decompose EACH shot's forward+adjoint "
+                         "sweeps over this many devices (--grad-path "
+                         "lane: slab-sharded, parallel/lane_diff_sharded;"
+                         " lane_u: Morton-block, parallel/"
+                         "unstructured_diff_sharded) — the scaling axis "
+                         "for a single too-big-for-one-chip shot")
     ap.add_argument("--inv-checkpoint", type=str, default=None,
                     help="inversion-state npz written every iteration; "
                          "with --inv-resume a killed inversion continues "
@@ -291,13 +298,39 @@ def main():
         if ex is None and args.grad_path != "lane_u":
             raise SystemExit("--grad-path lane/merged needs a structured "
                              "mesh (lane_u works on any)")
-        from seigen_tpu.solver.lane_diff import LaneDiffFwi
+        itp = jax.devices()[0].platform == "cpu"
+        if args.dd_shards > 1:
+            # domain-decomposed gradients: block small in interpret mode
+            # (CPU tests), lane-kernel default on hardware
+            kw = dict(damp=damp, segment=args.segment, interpret=itp,
+                      block=8 if itp else 256,
+                      devices=jax.devices()[: args.dd_shards])
+            if args.grad_path == "lane":
+                from seigen_tpu.parallel.lane_diff_sharded import (
+                    ShardedLaneDiffFwi)
 
-        ldf = LaneDiffFwi(
-            p0, dm, ex, dt, n_steps, shots, rcv, None, damp=damp,
-            segment=args.segment, engine=args.grad_path,
-            interpret=jax.devices()[0].platform == "cpu")
-        grad_ops = f"{args.grad_path}_diff"
+                ldf = ShardedLaneDiffFwi(
+                    p0, dm, ex, dt, n_steps, shots, rcv, None,
+                    args.dd_shards, **kw)
+            elif args.grad_path == "lane_u":
+                from seigen_tpu.parallel.unstructured_diff_sharded import (
+                    ShardedUnstructuredDiffFwi)
+
+                ldf = ShardedUnstructuredDiffFwi(
+                    p0, dm, dt, n_steps, shots, rcv, None,
+                    args.dd_shards, **kw)
+            else:
+                raise SystemExit(
+                    "--dd-shards supports --grad-path lane/lane_u")
+            grad_ops = f"{args.grad_path}_diff_dd{args.dd_shards}"
+        else:
+            from seigen_tpu.solver.lane_diff import LaneDiffFwi
+
+            ldf = LaneDiffFwi(
+                p0, dm, ex, dt, n_steps, shots, rcv, None, damp=damp,
+                segment=args.segment, engine=args.grad_path,
+                interpret=itp)
+            grad_ops = f"{args.grad_path}_diff"
     elif ex is not None:
         vel_op, stress_op = make_structured_ops(p0, ex)
         grad_ops = "xla_roll"
@@ -326,8 +359,9 @@ def main():
 
     wav_report = None
     if args.est_source:
-        if ldf is None:
-            raise SystemExit("--est-source needs --grad-path lane/merged")
+        if ldf is None or not hasattr(ldf, "source_vg_factory"):
+            raise SystemExit("--est-source needs --grad-path lane/merged "
+                             "(single-chip engines)")
         import optax
 
         wav_true = {k: np.asarray(ldf.src[k], np.float64)
@@ -383,6 +417,9 @@ def main():
     vg_factory = None
     if ldf is not None:
         if args.grad_shards > 1:
+            if not hasattr(ldf, "vg_factory_sharded"):
+                raise SystemExit("--grad-shards (shot-DP) and --dd-shards "
+                                 "(domain decomposition) are exclusive")
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()[: args.grad_shards]),

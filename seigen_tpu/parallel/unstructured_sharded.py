@@ -203,7 +203,7 @@ class ShardedUnstructuredRunner:
         self._rmat = jnp.asarray(R, self.dtype)
 
         if damp is not None:
-            dn = np.zeros((d.npp, E_pad), np.float32)
+            dn = np.zeros((d.npp, E_pad), np.float64)
             dn[: d.n_p, :E] = np.asarray(damp)[old_of_new].T
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
             self.damp_s = jnp.asarray(
@@ -217,13 +217,18 @@ class ShardedUnstructuredRunner:
 
     # --- sources / receivers (shard-stacked, amp=0 fill) ---------------
     def _build_sources(self, src, new_of_old):
-        d = self.d
         if src is None:
             self.src = None
             return
+        self.src = self._pack_sources(src, new_of_old)
+
+    def _pack_sources(self, src, new_of_old):
+        """Shard-pack ONE shot's SourceData -> dict of (P, ...) arrays
+        (amp=0 fill for shards that own none of the shot's points)."""
+        d = self.d
         K = src.elems.shape[0]
-        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
-        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
         for c in range(d.dim):
             vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                 src.vec_u[:, :, c]).T
@@ -235,11 +240,11 @@ class ShardedUnstructuredRunner:
         local = e_new % self.E_loc
         S_max = max(int(np.bincount(shard, minlength=self.P).max()), 1)
         elems_sh = np.zeros((self.P, S_max), dtype=np.int32)
-        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float32)
-        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float32)
-        f0 = np.ones((self.P, S_max), np.float32)
-        t0 = np.zeros((self.P, S_max), np.float32)
-        amp = np.zeros((self.P, S_max), np.float32)
+        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float64)
+        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float64)
+        f0 = np.ones((self.P, S_max), np.float64)
+        t0 = np.zeros((self.P, S_max), np.float64)
+        amp = np.zeros((self.P, S_max), np.float64)
         fill = np.zeros(self.P, dtype=np.int64)
         f0a = np.broadcast_to(np.asarray(src.f0, np.float64), (K,))
         t0a = np.broadcast_to(np.asarray(src.t0, np.float64), (K,))
@@ -254,7 +259,7 @@ class ShardedUnstructuredRunner:
             t0[p_, j] = t0a[kk]
             amp[p_, j] = ampa[kk]
             fill[p_] += 1
-        self.src = dict(
+        return dict(
             elems=jnp.asarray(elems_sh),
             vu=jnp.asarray(vu_sh, self.dtype),
             vs=jnp.asarray(vs_sh, self.dtype),
@@ -270,7 +275,7 @@ class ShardedUnstructuredRunner:
         Rn = len(e_new)
         elems_sh = np.zeros((self.P, Rn), dtype=np.int32)
         w_sh = np.zeros((self.P, Rn, np.asarray(rcv.weights).shape[1]),
-                        np.float32)
+                        np.float64)
         for r in range(Rn):
             elems_sh[shard[r], r] = local[r]
             w_sh[shard[r], r] = np.asarray(rcv.weights)[r]

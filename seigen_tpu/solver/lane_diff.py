@@ -141,14 +141,30 @@ def _voigt_kinv(dim, dtype):
     return jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dtype)
 
 
+def _ct_zeros(tree):
+    """Structural-zero cotangents for an operand tree: float leaves get
+    dense zeros (XLA DCEs them); integer/bool leaves get ``float0`` zeros
+    — the tangent dtype JAX assigns non-differentiable types — so exchange
+    INDEX plans (lane takes, halo gather columns, select combos) may ride
+    in ``ww`` unconverted."""
+    def z(x):
+        if (jnp.issubdtype(x.dtype, jnp.integer)
+                or x.dtype == jnp.bool_):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
+
+    return jax.tree.map(z, tree)
+
+
 def make_conjugated_vjp(a_prim, b_prim, dim, n_sig, npp, dtype):
     """THE energy-conjugation custom-VJP factory (one place for every
-    engine: v1 lane, merged v3, slab-sharded).
+    engine: v1 lane, merged v3, slab-sharded, Morton-block unstructured).
 
     ``a_prim(dd, ww, x)`` / ``b_prim(dd, ww, x)`` are the material-free
-    velocity / strain operators of the engine (any non-differentiable
-    operands — boundary masks — travel as FLOAT leaves of ``ww``).  The
-    returned (A, B) compute the primals and transpose via
+    velocity / strain operators of the engine (non-differentiable
+    operands — boundary masks, exchange index plans — travel as leaves
+    of ``ww``; integer leaves are fine, see _ct_zeros).  The returned
+    (A, B) compute the primals and transpose via
 
         A^T = -detJ (M x K^-1) B' detJ^-1 (M^-1 x I)
         B^T = -detJ (M x I)    A  detJ^-1 (M^-1 x K),
@@ -173,8 +189,7 @@ def make_conjugated_vjp(a_prim, b_prim, dim, n_sig, npp, dtype):
         y = b_prim(dd, ww, _wmul(ubar, ww["Mninv"], ww["idetj"], None,
                                  dim, npp))
         sbar = -_wmul(y, ww["Mn"], ww["detj"], kinv, n_sig, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), sbar)
+        return (_ct_zeros(dd), _ct_zeros(ww), sbar)
 
     def b_fwd(dd, ww, x):
         return b_prim(dd, ww, x), (dd, ww)
@@ -184,8 +199,7 @@ def make_conjugated_vjp(a_prim, b_prim, dim, n_sig, npp, dtype):
         y = a_prim(dd, ww, _wmul(ebar, ww["Mninv"], ww["idetj"], kdiag,
                                  n_sig, npp))
         ubar = -_wmul(y, ww["Mn"], ww["detj"], None, dim, npp)
-        return (jax.tree.map(jnp.zeros_like, dd),
-                jax.tree.map(jnp.zeros_like, ww), ubar)
+        return (_ct_zeros(dd), _ct_zeros(ww), ubar)
 
     A.defvjp(a_fwd, a_bwd)
     B.defvjp(b_fwd, b_bwd)

@@ -249,3 +249,22 @@ def test_fwi_cli_invert_q(tmp_path):
     assert summary["qinv_err_reduction"] < 1.0
     z = np.load(out)
     assert np.all(np.isfinite(z["qinv_final"]))
+
+
+def test_fwi_cli_dd_shards_lane_u(tmp_path):
+    """--dd-shards with --grad-path lane_u: each shot's forward+adjoint
+    sweeps domain-decomposed over virtual devices (the unstructured
+    Morton-block DD gradient engine) end-to-end."""
+    out = str(tmp_path / "fwi_dd.npz")
+    r = run_cli(["scripts/fwi.py", "--n", "8", "--degree", "1",
+                 "--iters", "4", "--shots", "2", "--T", "1.0", "--cpu",
+                 "--grad-path", "lane_u", "--dd-shards", "2",
+                 "--out", out], timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "lane_u_diff_dd2" in r.stdout
+    summary = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["misfit_last"] < summary["misfit_first"] \
+        or summary["model_err_reduction"] < 1.0
+    z = np.load(out)
+    assert np.all(np.isfinite(z["vp_final"]))
