@@ -72,8 +72,8 @@ def main():
     ap.add_argument("--vti", type=str, default=None,
                     help="'epsilon,delta,gamma' Thomsen parameters: VTI "
                          "anisotropic medium (3D, scheme lf; rides the "
-                         "merged/fused lane kernels on structured meshes, "
-                         "einsum otherwise)")
+                         "merged/fused/lane kernels on structured meshes "
+                         "and the lane_u kernels on unstructured ones)")
     ap.add_argument("--qp", type=float, default=None,
                     help="P/bulk quality factor Q_kappa (viscoelastic "
                          "attenuation; requires --scheme upwind-rk4)")
@@ -336,15 +336,15 @@ def main():
         runner = None
         impl = args.impl
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        if aniso_C is not None and impl in ("lane", "lane_u", "pallas"):
-            # only the v2/v3 kernels implement the C-contraction Hooke law
-            raise SystemExit("--vti rides --impl merged/fused/einsum")
+        if aniso_C is not None and impl == "pallas":
+            raise SystemExit(
+                "--vti rides --impl merged/fused/lane/lane_u/einsum")
         if impl == "auto" and args.scheme == "lf" and on_tpu:
             from seigen_tpu.ops.structured_exchange import detect_structured
 
             exch = detect_structured(dm)
             if exch is None:
-                impl = "einsum" if aniso_C is not None else "lane_u"
+                impl = "lane_u"
             elif args.order == 4 and dim == 3:
                 # merged v3 exchange-in-kernel pipeline is the 3D flagship
                 # (BENCH_NOTES round 3); falls back to fused below if the
@@ -352,8 +352,8 @@ def main():
                 impl = "merged"
             else:
                 # in 2D the v1 lane path measures slightly faster than v2
-                # (BENCH_NOTES); aniso needs the v2/v3 stress kernels
-                impl = "einsum" if aniso_C is not None else "lane"
+                # (BENCH_NOTES)
+                impl = "lane"
         if impl in ("lane", "fused", "merged", "lane_u") and (
                 args.scheme == "lf"):
             from seigen_tpu.ops.structured_exchange import detect_structured
@@ -366,7 +366,8 @@ def main():
                 runner = UnstructuredLaneRunner(
                     p, dt, order=args.order, src=src, damp=damp,
                     receivers=rcv, interpret=interp,
-                    centroids=np.asarray(dm.coords.mean(axis=1)))
+                    centroids=np.asarray(dm.coords.mean(axis=1)),
+                    stiffness=aniso_C)
             else:
                 exch = detect_structured(dm)
                 if exch is None:
@@ -397,7 +398,8 @@ def main():
 
                     runner = LaneMajorRunner(
                         p, exch, dt, order=args.order, src=src, damp=damp,
-                        receivers=rcv, interpret=interp)
+                        receivers=rcv, interpret=interp,
+                        stiffness=aniso_C)
             print(f"impl: {impl}")
 
         visco = None
@@ -433,6 +435,17 @@ def main():
                               "exchange-in-kernel RK4)")
                     except ValueError:
                         runner = None
+                else:
+                    from seigen_tpu.solver.lane_upwind_u import (
+                        UnstructuredUpwindRunner)
+
+                    runner = UnstructuredUpwindRunner(
+                        p, wdata, dt, src=src, damp=damp,
+                        receivers=rcv, interpret=not on_tpu,
+                        visco=visco,
+                        centroids=np.asarray(dm.coords.mean(axis=1)))
+                    print("impl: upwind_lane_u (lane-take Godunov "
+                          "RK4)")
             if runner is None:
                 from seigen_tpu.solver.rk4 import make_rk4_step
 

@@ -385,8 +385,17 @@ def vel_op_lm_trac_sel(d: PallasOpData, sig_lm, panels, combo, sign,
 
 def stress_op_lm_sel(d: PallasOpData, u_lm, panels, combo,
                      selcfg, block: int = DEFAULT_BLOCK,
-                     interpret: bool = False) -> jax.Array:
-    """stress_op_lm with the u-trace (f2, pi)-select fused in-kernel."""
+                     interpret: bool = False, cmat=None) -> jax.Array:
+    """stress_op_lm with the u-trace (f2, pi)-select fused in-kernel.
+
+    ``cmat`` (n_sig*8, E) lane rows (row c*8+k = Voigt C[c, k]) switches
+    the in-kernel Hooke law to the general anisotropic contraction."""
+    if cmat is not None:
+        kernel = functools.partial(_stress_kernel_sel_c, d.dim, d.n_sig,
+                                   d.npp, d.ftpp, selcfg)
+        return _sel_op(kernel, d, u_lm, panels, combo, None,
+                       (d.ginv, d.nrm, d.fsc, d.delta, cmat),
+                       d.n_sig * d.npp, selcfg, block, interpret)
     kernel = functools.partial(_stress_kernel_sel, d.dim, d.n_sig,
                                d.npp, d.ftpp, selcfg)
     return _sel_op(kernel, d, u_lm, panels, combo, None,
@@ -419,10 +428,11 @@ def vel_op_lm_trac(d: PallasOpData, sig_lm: jax.Array, tr_lm: jax.Array,
     )(sig_lm, tr_lm, *geo, d.drr, d.lift)
 
 
-def _stress_kernel(dim, n_sig, npp, ftpp,
-                   u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
-                   lam_ref, mu_ref, drr_ref, lift_ref, out_ref):
-    # combined [derivatives; own-trace] matmul per velocity component
+def _stress_prelude(dim, npp, ftpp, u_ref, tr_ref, ginv_ref, nrm_ref,
+                    delta_ref, drr_ref):
+    """Shared front of the stress kernels: combined [derivatives;
+    own-trace] matmul per velocity component, physical-gradient cache,
+    velocity jump at face nodes, face normals."""
     der = [[None] * dim for _ in range(dim)]
     own = [None] * dim
     nbr = [None] * dim
@@ -434,9 +444,6 @@ def _stress_kernel(dim, n_sig, npp, ftpp,
         own[c] = combo[dim * npp :, :]
         nbr[c] = tr_ref[c * ftpp : (c + 1) * ftpp, :]
 
-    lam = lam_ref[0:1, :]
-    mu = mu_ref[0:1, :]
-
     # physical gradient grad[d][c] = du_c/dx_d
     def grad(d, c):
         out = None
@@ -447,6 +454,18 @@ def _stress_kernel(dim, n_sig, npp, ftpp,
         return out
 
     gcache = {(d, c): grad(d, c) for d in range(dim) for c in range(dim)}
+    du = [0.5 * nbr[c] + delta_ref[:] * own[c] for c in range(dim)]
+    nd = [nrm_ref[d * ftpp : (d + 1) * ftpp, :] for d in range(dim)]
+    return gcache, du, nd
+
+
+def _stress_kernel(dim, n_sig, npp, ftpp,
+                   u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
+                   lam_ref, mu_ref, drr_ref, lift_ref, out_ref):
+    gcache, du, nd = _stress_prelude(dim, npp, ftpp, u_ref, tr_ref,
+                                     ginv_ref, nrm_ref, delta_ref, drr_ref)
+    lam = lam_ref[0:1, :]
+    mu = mu_ref[0:1, :]
     divu = sum(gcache[(d, d)] for d in range(dim))
 
     vol = []
@@ -459,9 +478,6 @@ def _stress_kernel(dim, n_sig, npp, ftpp,
         vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
         vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
 
-    # velocity jump at face nodes
-    du = [0.5 * nbr[c] + delta_ref[:] * own[c] for c in range(dim)]
-    nd = [nrm_ref[d * ftpp : (d + 1) * ftpp, :] for d in range(dim)]
     ndu = sum(nd[d] * du[d] for d in range(dim))
     face = []
     for c in range(dim):
@@ -476,6 +492,219 @@ def _stress_kernel(dim, n_sig, npp, ftpp,
     for c in range(n_sig):
         surf = _dot(lift_ref[:], face[c] * fsc_ref[:])
         out_ref[c * npp : (c + 1) * npp, :] = vol[c] + surf
+
+
+def _stress_kernel_c(dim, n_sig, npp, ftpp,
+                     u_ref, tr_ref, ginv_ref, nrm_ref, fsc_ref, delta_ref,
+                     cmat_ref, drr_ref, lift_ref, out_ref):
+    """General anisotropic Hooke law C : sym(a (x) b) (engineering Voigt
+    strains, ops/anisotropic.py conventions): cmat_ref holds n_sig
+    8-row sections, row c*8+k = C[c, k] per lane — the lane analog of the
+    fused v2/v3 kernels' stiffness extension (ops/fused_kernels.py)."""
+    from .anisotropic import _voigt_strain_pair
+
+    gcache, du, nd = _stress_prelude(dim, npp, ftpp, u_ref, tr_ref,
+                                     ginv_ref, nrm_ref, delta_ref, drr_ref)
+    pairs = _voigt_strain_pair(dim)
+
+    def crow(c, k):
+        return cmat_ref[c * 8 + k : c * 8 + k + 1, :]
+
+    eps = [sum(gcache[(j, i)] for (i, j) in pairs[k])
+           for k in range(n_sig)]
+    vol = [sum(crow(c, k) * eps[k] for k in range(n_sig))
+           for c in range(n_sig)]
+    epsf = [sum(nd[j] * du[i] for (i, j) in pairs[k])
+            for k in range(n_sig)]
+    face = [sum(crow(c, k) * epsf[k] for k in range(n_sig))
+            for c in range(n_sig)]
+
+    for c in range(n_sig):
+        surf = _dot(lift_ref[:], face[c] * fsc_ref[:])
+        out_ref[c * npp : (c + 1) * npp, :] = vol[c] + surf
+
+
+def _stress_kernel_sel_c(dim, n_sig, npp, ftpp, selcfg,
+                         u_ref, panels_ref, combo_ref,
+                         ginv_ref, nrm_ref, fsc_ref, delta_ref,
+                         cmat_ref, drr_ref, lift_ref, out_ref):
+    tr = _select_tiles(panels_ref, combo_ref, None, selcfg)
+    _stress_kernel_c(dim, n_sig, npp, ftpp, u_ref, tr, ginv_ref, nrm_ref,
+                     fsc_ref, delta_ref, cmat_ref, drr_ref, lift_ref,
+                     out_ref)
+
+
+def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
+                       u_ref, s_ref, pu_ref, pt_ref, combo_ref,
+                       sgu_ref, sgt_ref,
+                       ginv_ref, nrm_ref, fsc_ref, irho_ref,
+                       lam_ref, mu_ref, zpn_ref, zsn_ref, zown_ref,
+                       drr_ref, lift_ref, out_ref):
+    """Coupled Godunov RHS with the (f2, pi)-select fused in-kernel — the
+    unstructured-mesh analog of ops/upwind_kernels._upwind_body (see
+    ops/upwind.py for the Riemann formulas).
+
+    Plus-side states come from raw lane-take panels: ``pu_ref`` velocity
+    traces, ``pt_ref`` producer-contracted tractions; the boundary ghost
+    coefficients gu/gt are FOLDED INTO the per-face select signs
+    (interior: +1 for velocity, -1 for traction — conforming faces have
+    opposite normals; boundary self-pairs resolve to the own trace, so
+    the sign row IS the ghost coefficient).  Impedance rows: ``zpn/zsn``
+    face-node-expanded neighbour impedances, ``zown`` rows 0/1 = own
+    Zp/Zs.  Output: stacked [du (dim*npp); ds (n_sig*npp)] rows."""
+    V = voigt_map(dim)
+    # own derivatives + own-face traces (combined matmul per component)
+    der_u = [[None] * dim for _ in range(dim)]
+    own_u = [None] * dim
+    for c in range(dim):
+        combo = _dot(drr_ref[:], u_ref[c * npp : (c + 1) * npp, :])
+        for r in range(dim):
+            der_u[r][c] = combo[r * npp : (r + 1) * npp, :]
+        own_u[c] = combo[dim * npp :, :]
+    der_s = [[None] * n_sig for _ in range(dim)]
+    own_s = [None] * n_sig
+    for c in range(n_sig):
+        combo = _dot(drr_ref[:], s_ref[c * npp : (c + 1) * npp, :])
+        for r in range(dim):
+            der_s[r][c] = combo[r * npp : (r + 1) * npp, :]
+        own_s[c] = combo[dim * npp :, :]
+
+    nd = [nrm_ref[d * ftpp : (d + 1) * ftpp, :] for d in range(dim)]
+    t_own = [sum(nd[dd] * own_s[V[c, dd]] for dd in range(dim))
+             for c in range(dim)]
+
+    # exchanged, ghosted plus-side states
+    up_all = _select_tiles(pu_ref, combo_ref, sgu_ref, selcfg)
+    tp_all = _select_tiles(pt_ref, combo_ref, sgt_ref, selcfg)
+    u_p = [up_all[c * ftpp : (c + 1) * ftpp, :] for c in range(dim)]
+    t_p = [tp_all[c * ftpp : (c + 1) * ftpp, :] for c in range(dim)]
+
+    zp_p, zs_p = zpn_ref[:], zsn_ref[:]
+    zp_m = zown_ref[0:1, :]
+    zs_m = zown_ref[1:2, :]
+
+    def nsum(vec):
+        return sum(nd[dd] * vec[dd] for dd in range(dim))
+
+    uN_m, uN_p = nsum(own_u), nsum(u_p)
+    tN_m, tN_p = nsum(t_own), nsum(t_p)
+
+    zp_sum = zp_m + zp_p
+    zs_sum = zs_m + zs_p
+    # guards: dead padded lanes carry zero impedance (zs also guards the
+    # acoustic vs=0 limit, ops/upwind.py)
+    zp_safe = jnp.where(zp_sum > 0, zp_sum, jnp.ones_like(zp_sum))
+    zs_safe = jnp.where(zs_sum > 0, zs_sum, jnp.ones_like(zs_sum))
+    has_shear = zs_sum > 0
+
+    tstar_N = (zp_p * tN_m + zp_m * tN_p
+               + zp_m * zp_p * (uN_p - uN_m)) / zp_safe
+    ustar_N = (zp_m * uN_m + zp_p * uN_p + (tN_p - tN_m)) / zp_safe
+
+    t_star, u_star = [], []
+    for c in range(dim):
+        tT_m = t_own[c] - tN_m * nd[c]
+        tT_p = t_p[c] - tN_p * nd[c]
+        uT_m = own_u[c] - uN_m * nd[c]
+        uT_p = u_p[c] - uN_p * nd[c]
+        tT = jnp.where(
+            has_shear,
+            (zs_p * tT_m + zs_m * tT_p
+             + zs_m * zs_p * (uT_p - uT_m)) / zs_safe,
+            0.5 * (tT_m + tT_p))
+        uT = jnp.where(
+            has_shear,
+            (zs_m * uT_m + zs_p * uT_p + (tT_p - tT_m)) / zs_safe,
+            0.5 * (uT_m + uT_p))
+        t_star.append(tstar_N * nd[c] + tT)
+        u_star.append(ustar_N * nd[c] + uT)
+
+    # velocity equation: du = (1/rho)(div sigma + LIFT(Fscale (t*-t-)))
+    irho = irho_ref[0:1, :]
+    for c in range(dim):
+        div = None
+        for dd in range(dim):
+            for r in range(dim):
+                g = ginv_ref[r * dim + dd : r * dim + dd + 1, :]
+                term = g * der_s[r][V[c, dd]]
+                div = term if div is None else div + term
+        surf = _dot(lift_ref[:], fsc_ref[:] * (t_star[c] - t_own[c]))
+        out_ref[c * npp : (c + 1) * npp, :] = irho * (div + surf)
+
+    # stress equation: ds = Hooke(grad u) + LIFT(Fscale Hooke_f(u*-u-))
+    lam = lam_ref[0:1, :]
+    mu = mu_ref[0:1, :]
+
+    def grad(dd, c):
+        out = None
+        for r in range(dim):
+            g = ginv_ref[r * dim + dd : r * dim + dd + 1, :]
+            term = g * der_u[r][c]
+            out = term if out is None else out + term
+        return out
+
+    gcache = {(dd, c): grad(dd, c)
+              for dd in range(dim) for c in range(dim)}
+    divu = sum(gcache[(dd, dd)] for dd in range(dim))
+    vol = [lam * divu + 2.0 * mu * gcache[(c, c)] for c in range(dim)]
+    if dim == 2:
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+    else:
+        vol.append(mu * (gcache[(2, 1)] + gcache[(1, 2)]))
+        vol.append(mu * (gcache[(2, 0)] + gcache[(0, 2)]))
+        vol.append(mu * (gcache[(1, 0)] + gcache[(0, 1)]))
+
+    duf = [u_star[c] - own_u[c] for c in range(dim)]
+    nduf = nsum(duf)
+    face = [lam * nduf + 2.0 * mu * nd[c] * duf[c] for c in range(dim)]
+    if dim == 2:
+        face.append(mu * (nd[0] * duf[1] + nd[1] * duf[0]))
+    else:
+        face.append(mu * (nd[1] * duf[2] + nd[2] * duf[1]))
+        face.append(mu * (nd[0] * duf[2] + nd[2] * duf[0]))
+        face.append(mu * (nd[0] * duf[1] + nd[1] * duf[0]))
+
+    for c in range(n_sig):
+        surf = _dot(lift_ref[:], fsc_ref[:] * face[c])
+        out_ref[(dim + c) * npp : (dim + c + 1) * npp, :] = (
+            vol[c] + surf)
+
+
+def upwind_rhs_lm_sel(d: PallasOpData, uw, u_lm, s_lm, panels_u,
+                      panels_t, combo, sign_u, sign_t, selcfg,
+                      block: int = DEFAULT_BLOCK,
+                      interpret: bool = False) -> jax.Array:
+    """Coupled Godunov RHS on lane-major state, unstructured meshes:
+    plus-side traces via raw lane-take panels + in-kernel select.
+
+    ``uw`` = (zpn, zsn, zown) impedance lane rows (see
+    _upwind_kernel_sel).  Returns stacked ((dim+n_sig)*npp, E_pad) rows
+    [du; ds] — one VMEM pass reads u and sigma each once."""
+    zpn, zsn, zown = uw
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.irho, d.lam, d.mu,
+                     zpn, zsn, zown)]
+    E_pad = u_lm.shape[1]
+    grid = (E_pad // block,)
+    out_rows = (d.dim + d.n_sig) * d.npp
+    kernel = functools.partial(_upwind_kernel_sel, d.dim, d.n_sig,
+                               d.npp, d.ftpp, selcfg)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, E_pad), u_lm.dtype),
+        grid=grid,
+        in_specs=_lane_specs(
+            block,
+            [u_lm.shape[0], s_lm.shape[0], panels_u.shape[0],
+             panels_t.shape[0], combo.shape[0], sign_u.shape[0],
+             sign_t.shape[0]] + [g.shape[0] for g in geo],
+        )
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
+        out_specs=pl.BlockSpec((out_rows, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u_lm, s_lm, panels_u, panels_t, combo, sign_u, sign_t, *geo,
+      d.drr, d.lift)
 
 
 def _lane_specs(block, row_counts):
@@ -577,13 +806,23 @@ def _vel_apply(d: PallasOpData, p: ElasticParams, sigma: jax.Array,
 
 def stress_op_lm(d: PallasOpData, u_lm: jax.Array, tr_lm: jax.Array,
                  block: int = DEFAULT_BLOCK,
-                 interpret: bool = False) -> jax.Array:
-    """Raw lane-major fused stress operator: (C npp, E_pad) in/out."""
-    geo = [_pad_lanes(x, block)
-           for x in (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu)]
+                 interpret: bool = False, cmat=None) -> jax.Array:
+    """Raw lane-major fused stress operator: (C npp, E_pad) in/out.
+
+    ``cmat`` (n_sig*8, E) lane rows (row c*8+k = Voigt C[c, k]) switches
+    the in-kernel Hooke law to the general anisotropic contraction."""
+    if cmat is not None:
+        geo = [_pad_lanes(x, block)
+               for x in (d.ginv, d.nrm, d.fsc, d.delta, cmat)]
+        kernel = functools.partial(_stress_kernel_c, d.dim, d.n_sig,
+                                   d.npp, d.ftpp)
+    else:
+        geo = [_pad_lanes(x, block)
+               for x in (d.ginv, d.nrm, d.fsc, d.delta, d.lam, d.mu)]
+        kernel = functools.partial(_stress_kernel, d.dim, d.n_sig, d.npp,
+                                   d.ftpp)
     E_pad = u_lm.shape[1]
     grid = (E_pad // block,)
-    kernel = functools.partial(_stress_kernel, d.dim, d.n_sig, d.npp, d.ftpp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((d.n_sig * d.npp, E_pad), u_lm.dtype),

@@ -164,6 +164,7 @@ class LaneMajorRunner:
         record_pressure: bool = False,
         block: int = DEFAULT_BLOCK,
         interpret: bool = False,
+        stiffness=None,
     ):
         self.record_pressure = record_pressure
         d = build_pallas_data(p)
@@ -204,6 +205,20 @@ class LaneMajorRunner:
         )
 
         self.ex_u, self.ex_s = self._make_exchanges()
+
+        # general anisotropic Hooke rows: (n_sig*8, E) lanes, row c*8+k =
+        # Voigt C[c, k] (engineering strains, ops/anisotropic.py); rides
+        # in aux so every E-sized operand stays a jit argument
+        if stiffness is not None:
+            n_sig = d.n_sig
+            C = np.broadcast_to(
+                np.asarray(stiffness, np.float64), (E, n_sig, n_sig))
+            cm = np.zeros((n_sig * 8, E), dtype=np.float64)
+            for c in range(n_sig):
+                cm[c * 8 : c * 8 + n_sig] = C[old_of_new, c, :].T
+            self.cmat = jnp.asarray(cm, self.dtype)
+        else:
+            self.cmat = None
 
         # tiled damping rows (permuted to new order)
         if damp is not None:
@@ -276,9 +291,9 @@ class LaneMajorRunner:
         return vel_op_lm(d, s_lm, self.ex_s(s_lm), self.block,
                          self.interpret)
 
-    def _stress(self, d, u_lm):
+    def _stress(self, d, u_lm, cmat=None):
         return stress_op_lm(d, u_lm, self.ex_u(u_lm), self.block,
-                            self.interpret)
+                            self.interpret, cmat=cmat)
 
     def _inject_u(self, aux, du_lm, t):
         if self.src_elems is None:
@@ -302,7 +317,7 @@ class LaneMajorRunner:
 
         lf = compose_lf_step(
             vel=lambda s_lm: self._vel(d, s_lm),
-            stress=lambda u_lm: self._stress(d, u_lm),
+            stress=lambda u_lm: self._stress(d, u_lm, aux.get("cmat")),
             inject_u=lambda du, t_: self._inject_u(aux, du, t_),
             inject_s=lambda ds, t_: self._inject_s(aux, ds, t_),
             post=post, dt=self.dt, order=self.order,
@@ -314,6 +329,8 @@ class LaneMajorRunner:
 
     def _aux(self):
         aux = {}
+        if self.cmat is not None:
+            aux["cmat"] = self.cmat
         if self.damp_u is not None:
             aux["damp_u"], aux["damp_s"] = self.damp_u, self.damp_s
         if self.src_elems is not None:

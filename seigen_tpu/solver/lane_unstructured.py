@@ -88,12 +88,12 @@ class UnstructuredLaneRunner(LaneMajorRunner):
         return vel_op_lm_trac(d, s_lm, self.ex_s(s_lm), self.block,
                               self.interpret)
 
-    def _stress(self, d, u_lm):
+    def _stress(self, d, u_lm, cmat=None):
         if self._fused_select:
             fn, combo, _, selcfg = self._pg_u
             return stress_op_lm_sel(d, u_lm, fn(u_lm), combo, selcfg,
-                                    self.block, self.interpret)
+                                    self.block, self.interpret, cmat=cmat)
         from ..ops.pallas_kernels import stress_op_lm
 
         return stress_op_lm(d, u_lm, self.ex_u(u_lm), self.block,
-                            self.interpret)
+                            self.interpret, cmat=cmat)

@@ -170,7 +170,11 @@ class UpwindLaneRunner(MergedLaneRunner):
         for k in range(K):
             key = (round(float(f0a[k]), 12), round(float(t0a[k]), 12))
             groups.setdefault(key, []).append(k)
-        if len(groups) <= 2:
+        # viscoelastic runs skip the kernel-fused dense injection: the
+        # source must enter the RELAXED stress balance AFTER the
+        # anelastic target is computed (solver/rk4.py:78-93), so it
+        # cannot be folded into the kernel that emits ds_el
+        if len(groups) <= 2 and self.visco is None:
             dense = []
             for (f0g, t0g), idx in groups.items():
                 Su = np.zeros((d.dim * d.npp, plan.Ls), np.float32)
@@ -274,26 +278,33 @@ class UpwindLaneRunner(MergedLaneRunner):
         du, ds_el, trk = upwind_rhs_merged(
             plan, d, aux["uwg"], ulm, slm, self._fill_halo(tr), mask,
             interpret=itp, inject=inject)
-        if self.src_elems is not None and dense is None:
+
+        def add_columns(du, ds, trk, t_):
             r = (self.src_amp
                  * ricker(t_, self.src_f0, self.src_t0))[None, :]
             r = r.astype(self.dtype)
             du = inject_columns(du, self.src_elems, aux["src_vu"] * r,
                                 unique=self._src_unique)
-            ds_el = inject_columns(ds_el, self.src_elems,
-                                   aux["src_vs"] * r,
-                                   unique=self._src_unique)
+            ds = inject_columns(ds, self.src_elems,
+                                aux["src_vs"] * r,
+                                unique=self._src_unique)
             trk = inject_columns(trk, self.src_elems_tr,
                                  aux["src_trp"] * r,
                                  unique=self._src_unique)
+            return du, ds, trk
+
         if self.visco is None:
+            if self.src_elems is not None and dense is None:
+                du, ds_el, trk = add_columns(du, ds_el, trk, t_)
             return du, ds_el, trk, None
         d_ = self.d
         xi_sum = xi.sum(axis=0)
         ds = ds_el - xi_sum
         trk = trk - self._payload_place(
             None, self._traction_rows(xi_sum))
-        # anelastic targets: iso/dev split of the UNRELAXED rate
+        # anelastic targets: iso/dev split of the UNRELAXED rate; point
+        # sources inject into the momentum/stress BALANCE afterwards —
+        # they bypass the anelastic target (solver/rk4.py:78-93)
         npp, dim, n_sig = d_.npp, d_.dim, d_.n_sig
         iso_scalar = sum(
             ds_el[c * npp : (c + 1) * npp] for c in range(dim)) / dim
@@ -304,6 +315,8 @@ class UpwindLaneRunner(MergedLaneRunner):
         dev = ds_el - iso
         target = iso[None] * aux["yk"] + dev[None] * aux["ym"]
         dxi = aux["omegas"][:, None, None] * (target - xi)
+        if self.src_elems is not None:
+            du, ds, trk = add_columns(du, ds, trk, t_)
         return du, ds, trk, dxi
 
     def step_with(self, d, aux, carry, t):

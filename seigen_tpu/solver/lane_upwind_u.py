@@ -1,0 +1,261 @@
+"""Upwind/RK4 runner for UNSTRUCTURED meshes — the dissipative scheme
+(and with it viscoelastic Q) on the lane-take fast path.
+
+Round-3 closure of the last physics x mesh-type matrix cell: `--scheme
+upwind-rk4` rode the merged exchange-in-kernel pipeline on STRUCTURED
+meshes (solver/lane_upwind.py) but fell to the einsum oracle on Gmsh /
+scrambled meshes — and the reference's production runs were unstructured
+(SURVEY.md §3).  This runner pairs the coupled Godunov kernel with the
+face-bijection panel machinery of the unstructured LF runner:
+
+- **Panels per RHS.**  Each RK4 stage re-extracts its input's (u,
+  traction) panels with the existing gathers (_pg_u / _pg_t — one-hot
+  MXU restriction + producer-side normal contraction + nf lane takes);
+  the consumer-side (f2, pi)-select runs INSIDE the coupled kernel
+  (ops/pallas_kernels._upwind_kernel_sel).  No trace carry is needed:
+  unlike the merged runner there is no supercell window to fill, so
+  re-extraction is the simpler and equally-fast formulation here.
+- **Ghosts in the select signs.**  Boundary faces self-pair (the select
+  resolves them to the own trace), so the Godunov ghost coefficients
+  (free: t+ = -t-; rigid: u+ = -u-; absorbing: zero exterior) fold into
+  the per-face sign rows: sign_u = gu on boundary (+1 interior), sign_t
+  = gt on boundary (-1 interior — conforming faces have opposite
+  normals, and panels carry producer-contracted tractions).
+- **Viscoelastic xi** (ops/viscoelastic.py) is elementwise on lane rows,
+  exactly as in the merged runner minus the trace correction.
+
+Equivalence oracle: solver/rk4.py + ops/upwind.py on scrambled meshes
+(tests/test_upwind_lane_u.py).  Scheme semantics match the einsum path:
+co-located (u, s), sources at stage times, damping after the update.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.elastic import ElasticParams
+from ..ops.pallas_kernels import upwind_rhs_lm_sel
+from ..ops.upwind import UpwindData
+from .lane_major import from_lm, to_lm
+from .lane_unstructured import UnstructuredLaneRunner
+from .source import SourceData
+from .timestep import State
+
+
+class UnstructuredUpwindRunner(UnstructuredLaneRunner):
+    """RK4 + Godunov flux on the unstructured lane-take pipeline.
+
+    Extra args vs UnstructuredLaneRunner: w (UpwindData) and visco
+    (ViscoData or None).  State semantics: u and s CO-LOCATED in time.
+    """
+
+    def __init__(
+        self,
+        p: ElasticParams,
+        w: UpwindData,
+        dt: float,
+        *,
+        centroids=None,
+        src: SourceData | None = None,
+        damp=None,
+        receivers=None,
+        record_pressure: bool = False,
+        block: int | None = None,
+        interpret: bool = False,
+        visco=None,
+    ):
+        kw = {} if block is None else {"block": block}
+        super().__init__(p, dt, centroids=centroids, src=src, damp=damp,
+                         receivers=receivers,
+                         record_pressure=record_pressure,
+                         interpret=interpret, **kw)
+        d, E, E_pad = self.d, self.E, self.E_pad
+        old = self._old_of_new
+        nf, nfp = p.n_faces, p.n_fp
+
+        # impedance rows: neighbour Zp/Zs expanded to face nodes, own in
+        # rows 0/1 of an 8-aligned section (new element order)
+        def exp_face(a):  # (E, nf) old order -> (ftpp, E) new order
+            rows = np.zeros((d.ftpp, E), dtype=np.float64)
+            an = a[old]
+            for f in range(nf):
+                rows[f * nfp : (f + 1) * nfp] = an[:, f][None, :]
+            return rows
+
+        self.zpn = jnp.asarray(
+            exp_face(np.asarray(w.zp_nbr[:, :, 0])), self.dtype)
+        self.zsn = jnp.asarray(
+            exp_face(np.asarray(w.zs_nbr[:, :, 0])), self.dtype)
+        zo = np.zeros((8, E), dtype=np.float64)
+        zo[0] = np.asarray(w.zp_own[:, 0, 0])[old]
+        zo[1] = np.asarray(w.zs_own[:, 0, 0])[old]
+        self.zown = jnp.asarray(zo, self.dtype)
+
+        # ghost coefficients folded into the per-face select signs
+        pr = self.pairing  # already permuted to the new order
+        boundary = (pr.e2 == np.arange(E)[:, None]) & (
+            pr.f2 == np.arange(nf)[None, :])
+        gu = np.asarray(w.ghost_u[:, :, 0])[old]
+        gt = np.asarray(w.ghost_t[:, :, 0])[old]
+        su = np.zeros((8, E_pad), dtype=np.float32)
+        st = np.zeros((8, E_pad), dtype=np.float32)
+        su[:nf, :E] = np.where(boundary, gu, 1.0).T
+        st[:nf, :E] = np.where(boundary, gt, -1.0).T
+        self.sign_u = jnp.asarray(su)
+        self.sign_t = jnp.asarray(st)
+
+        self.visco = visco
+        if visco is not None:
+            def vrows(a):  # (E, L) old order -> (L, 1, E_pad)
+                r = np.asarray(a)[old].T
+                r = np.pad(r, ((0, 0), (0, E_pad - E)))
+                return jnp.asarray(r[:, None, :], self.dtype)
+
+            self.yk = vrows(visco.y_kappa)
+            self.ym = vrows(visco.y_mu)
+            self.omegas = jnp.asarray(visco.omegas, self.dtype)
+
+    def _aux(self):
+        aux = super()._aux()
+        aux.pop("cmat", None)  # upwind Hooke is isotropic (visco too)
+        aux["uw_combo"] = self._pg_u[1]
+        aux["sign_u"], aux["sign_t"] = self.sign_u, self.sign_t
+        aux["zpn"], aux["zsn"], aux["zown"] = self.zpn, self.zsn, self.zown
+        if self.visco is not None:
+            aux["yk"], aux["ym"] = self.yk, self.ym
+            aux["omegas"] = self.omegas
+        return aux
+
+    # --- coupled RHS -----------------------------------------------------
+    def _rhs(self, d, aux, ulm, slm, xi, t_):
+        out = upwind_rhs_lm_sel(
+            d, (aux["zpn"], aux["zsn"], aux["zown"]), ulm, slm,
+            self._pg_u[0](ulm), self._pg_t[0](slm), aux["uw_combo"],
+            aux["sign_u"], aux["sign_t"], self._pg_u[3],
+            self.block, self.interpret)
+        du = out[: d.dim * d.npp]
+        ds_el = out[d.dim * d.npp :]
+        du = self._inject_u(aux, du, t_)
+        if self.visco is None:
+            return du, self._inject_s(aux, ds_el, t_), None
+        npp, dim, n_sig = d.npp, d.dim, d.n_sig
+        xi_sum = xi.sum(axis=0)
+        ds = ds_el - xi_sum
+        # anelastic targets: iso/dev split of the UNRELAXED rate; point
+        # sources inject into the momentum/stress BALANCE afterwards —
+        # they bypass the anelastic target (solver/rk4.py:78-93)
+        iso_scalar = sum(
+            ds_el[c * npp : (c + 1) * npp] for c in range(dim)) / dim
+        iso = jnp.concatenate(
+            [iso_scalar] * dim
+            + [jnp.zeros(((n_sig - dim) * npp, ds_el.shape[1]),
+                         ds_el.dtype)], axis=0)
+        dev = ds_el - iso
+        target = iso[None] * aux["yk"] + dev[None] * aux["ym"]
+        dxi = aux["omegas"][:, None, None] * (target - xi)
+        return du, self._inject_s(aux, ds, t_), dxi
+
+    # --- RK4 step ----------------------------------------------------------
+    def step_with(self, d, aux, carry, t):
+        ulm, slm, xi = carry
+        h = self.dt
+        h2 = 0.5 * h
+
+        def comb(a, b, w):
+            return a if b is None else a + w * b
+
+        k1 = self._rhs(d, aux, ulm, slm, xi, t)
+        k2 = self._rhs(d, aux, ulm + h2 * k1[0], slm + h2 * k1[1],
+                       comb(xi, k1[2], h2), t + h2)
+        k3 = self._rhs(d, aux, ulm + h2 * k2[0], slm + h2 * k2[1],
+                       comb(xi, k2[2], h2), t + h2)
+        k4 = self._rhs(d, aux, ulm + h * k3[0], slm + h * k3[1],
+                       comb(xi, k3[2], h), t + h)
+        w = h / 6.0
+        u_n = ulm + w * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        s_n = slm + w * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        if xi is not None:
+            xi = xi + w * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        if self.damp_u is not None:
+            u_n = u_n * aux["damp_u"]
+            s_n = s_n * aux["damp_s"]
+            if xi is not None:
+                xi = xi * aux["damp_s"][None]
+        return u_n, s_n, xi
+
+    # --- drivers -------------------------------------------------------
+    def _go(self):
+        if not hasattr(self, "_go_fn"):
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def go(d, aux, ulm, slm, xi, n, k0):
+                def body(carry, k):
+                    carry = self.step_with(
+                        d, aux, carry, k.astype(self.dtype) * self.dt)
+                    ys = (
+                        self._sample(aux, carry[0], carry[1])
+                        if self.rcv is not None
+                        else None
+                    )
+                    return carry, ys
+
+                (ulm, slm, xi), seis = jax.lax.scan(
+                    body, (ulm, slm, xi), jnp.arange(n) + k0)
+                return ulm, slm, xi, seis
+
+            self._go_fn = go
+        return self._go_fn
+
+    def _xi0(self, slm):
+        if self.visco is None:
+            return None
+        return jnp.zeros((self.visco.L,) + slm.shape, dtype=slm.dtype)
+
+    def run(self, state0: State, n_steps: int, step0: int = 0, xi0=None):
+        ulm, slm = self.to_lm_state(state0)
+        xi = self._xi0(slm) if xi0 is None else xi0
+        ulm, slm, xi, seis = self._go()(
+            self.d, self._aux(), ulm, slm, xi, n_steps,
+            jnp.asarray(step0))
+        out = self.from_lm_state(ulm, slm)
+        return out, (None if seis is None else np.asarray(seis))
+
+    def run_lm(self, ulm, slm, n_steps: int, step0: int = 0, xi0=None):
+        xi = self._xi0(slm) if xi0 is None else xi0
+        ulm, slm, xi, seis = self._go()(
+            self.d, self._aux(), ulm, slm, xi, n_steps,
+            jnp.asarray(step0))
+        return ulm, slm, seis
+
+    # --- xi layout round-trip (checkpoint/resume chunks) ---------------
+    def xi_to_lm(self, xi_std):
+        """(E, n_p, n_sig, L) standard -> (L, n_sig*npp, E_pad)."""
+        d = self.d
+        perm = jnp.asarray(self._old_of_new)
+        return jnp.stack(
+            [to_lm(xi_std[perm, :, :, l], d.npp, self.E_pad)
+             for l in range(self.visco.L)], axis=0)
+
+    def xi_from_lm(self, xi_lm):
+        d = self.d
+        inv = jnp.asarray(self._new_of_old)
+        return jnp.stack(
+            [from_lm(xi_lm[l], d.n_p, d.npp, d.n_sig, self.E)[inv]
+             for l in range(self.visco.L)], axis=-1)
+
+    def run_xi(self, state0: State, xi_std, n_steps: int, step0: int = 0):
+        """Viscoelastic chunked driver: standard-layout xi in and out
+        (None xi_std = zeros)."""
+        ulm, slm = self.to_lm_state(state0)
+        xi = (self._xi0(slm) if xi_std is None
+              else self.xi_to_lm(xi_std))
+        ulm, slm, xi, seis = self._go()(
+            self.d, self._aux(), ulm, slm, xi, n_steps,
+            jnp.asarray(step0))
+        return (self.from_lm_state(ulm, slm),
+                None if xi is None else self.xi_from_lm(xi),
+                None if seis is None else np.asarray(seis))

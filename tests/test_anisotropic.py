@@ -236,3 +236,48 @@ def test_aniso_sharded_fused():
         np.asarray(out.u), np.asarray(ref.u), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(out.s), np.asarray(ref.s), rtol=2e-4, atol=2e-5)
+
+
+def test_aniso_lane_paths():
+    """VTI stiffness through the v1 lane runner AND the unstructured
+    face-bijection runner (scrambled mesh) == the einsum aniso path —
+    anisotropy no longer requires a structured mesh to ride a
+    TPU-native engine."""
+    import dataclasses as _dc
+
+    from seigen_tpu.ops.structured_exchange import detect_structured
+    from seigen_tpu.solver.lane_major import LaneMajorRunner
+    from seigen_tpu.solver.lane_unstructured import UnstructuredLaneRunner
+
+    rng = np.random.default_rng(7)
+    topo = box_mesh(3, 3, 3)
+    dm = build_discrete(topo, 2)
+    topo_s = _dc.replace(topo, cells=topo.cells[rng.permutation(
+        topo.num_cells)], structure=None)
+    dm_u = build_discrete(topo_s, 2)
+    assert detect_structured(dm_u) is None
+    C6 = vti_stiffness(2.0, 1.1, 1.3, epsilon=0.15, delta=0.05, gamma=0.1)
+    vmax = max_wavespeed(C6, 1.3)
+    dt = cfl_dt(float(dm.h.min()), vmax, 2, 0.4)
+    for dmx, make in (
+        (dm, lambda p, C: LaneMajorRunner(
+            p, detect_structured(dm), dt, order=4, block=8,
+            interpret=True, stiffness=C)),
+        (dm_u, lambda p, C: UnstructuredLaneRunner(
+            p, dt, order=4, block=8, interpret=True, stiffness=C,
+            centroids=np.asarray(dmx.coords.mean(axis=1)))),
+    ):
+        p = build_params(dmx, MAT, dtype=jnp.float64)
+        E, n_p = dmx.num_elements, dmx.re.n_p
+        C = np.broadcast_to(C6, (E, 6, 6)).copy()
+        st = State(
+            u=jnp.asarray(rng.standard_normal((E, n_p, 3)), jnp.float64),
+            s=jnp.asarray(rng.standard_normal((E, n_p, 6)), jnp.float64),
+        )
+        ref, _ = run(p, st, dt, 3, order=4,
+                     stress_op=make_aniso_stress_op(jnp.asarray(C)))
+        out, _ = make(p, C).run(st, 3)
+        np.testing.assert_allclose(
+            np.asarray(out.u), np.asarray(ref.u), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(out.s), np.asarray(ref.s), rtol=1e-9, atol=1e-11)

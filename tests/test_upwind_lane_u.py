@@ -1,11 +1,12 @@
-"""Lane-major upwind/RK4 runner vs the einsum RK4 oracle.
+"""Unstructured upwind/RK4 runner (solver/lane_upwind_u.py) vs the einsum
+RK4 oracle on SCRAMBLED (structure-free) meshes.
 
 The oracle (solver/rk4.py + ops/upwind.py) is itself order-verified
 against analytic eigenmodes (tests/test_upwind.py), closing the chain.
-Covers: bare physics, blob source (kernel-fused dense injection),
-sponge damping (fields + traces + xi), receivers, viscoelastic memory
-variables, 2D and 3D, and lane padding (block does not divide NC).
-"""
+Covers: bare physics, point source, sponge damping, receivers,
+viscoelastic memory variables, mixed BCs, 2D and 3D, lane padding."""
+
+import dataclasses as _dc
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,17 +26,24 @@ from seigen_tpu.solver import (
     line,
     sponge_mask,
 )
-from seigen_tpu.solver.lane_upwind import UpwindLaneRunner
+from seigen_tpu.solver.lane_upwind_u import UnstructuredUpwindRunner
 from seigen_tpu.solver.rk4 import run_rk4, run_rk4_visco
 
 MAT = Material(rho=1.0, vp=2.0, vs=1.0)
 
 
+def _scramble(topo, seed):
+    rng = np.random.default_rng(seed)
+    return _dc.replace(topo, cells=topo.cells[rng.permutation(
+        topo.num_cells)], structure=None)
+
+
 def _case_3d():
     ext = ((0.0, 1.0),) * 3
     dm = build_discrete(
-        box_mesh(3, 3, 3), 2,
+        _scramble(box_mesh(3, 3, 3), 11), 2,
         bc_fn=absorbing_bc_fn(ext, free_sides=[(2, "hi")]))
+    assert detect_structured(dm) is None
     src = build_sources(
         dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0, radius=0.25)],
         dtype=jnp.float32)
@@ -59,8 +67,6 @@ def _state(dm, dim):
 def _compare(dm, block, src=None, damp=None, rcv=None, visco=None,
              n_steps=3, atol=5e-5):
     p = build_params(dm, MAT, dtype=jnp.float32)
-    ex = detect_structured(dm)
-    assert ex is not None
     w = build_upwind_data(dm, MAT, dtype=jnp.float32)
     dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
     st = _state(dm, dm.dim)
@@ -71,9 +77,10 @@ def _compare(dm, block, src=None, damp=None, rcv=None, visco=None,
     else:
         ref, seis_ref = run_rk4(
             p, w, st, dt, n_steps, src=src, damp=damp, receivers=rcv)
-    run = UpwindLaneRunner(p, ex, w, dt, src=src, damp=damp,
-                           receivers=rcv, block=block, interpret=True,
-                           visco=visco)
+    run = UnstructuredUpwindRunner(
+        p, w, dt, src=src, damp=damp, receivers=rcv, block=block,
+        interpret=True, visco=visco,
+        centroids=np.asarray(dm.coords.mean(axis=1)))
     out, seis = run.run(st, n_steps)
     np.testing.assert_allclose(
         np.asarray(out.u), np.asarray(ref.u), rtol=2e-4, atol=atol)
@@ -85,36 +92,50 @@ def _compare(dm, block, src=None, damp=None, rcv=None, visco=None,
     return run
 
 
-def test_upwind_lane_3d_full():
-    dm, src, rcv, damp = _case_3d()
-    run = _compare(dm, block=9, src=src, damp=damp, rcv=rcv)
-    assert run.src_dense is not None  # blob rides the dense path
-
-
-def test_upwind_lane_3d_lane_padding():
+def test_upwind_lane_u_3d_full():
     dm, src, rcv, damp = _case_3d()
     _compare(dm, block=8, src=src, damp=damp, rcv=rcv)
 
 
-def test_upwind_lane_3d_visco():
-    dm, src, _, damp = _case_3d()
+def test_upwind_lane_u_3d_visco():
+    dm, src, rcv, damp = _case_3d()
     p = build_params(dm, MAT, dtype=jnp.float32)
-    v = build_visco(p, 30.0, 20.0, 1.0, 8.0, L=2)
-    _compare(dm, block=9, src=src, damp=damp, visco=v)
+    visco = build_visco(p, 30.0, 20.0, 1.0, 10.0)
+    _compare(dm, block=8, src=src, damp=damp, rcv=rcv, visco=visco)
 
 
-def test_upwind_lane_2d():
-    ext = ((0.0, 1.0),) * 2
+def test_upwind_lane_u_2d_mixed_bcs():
+    ext = ((0.0, 1.0), (0.0, 1.0))
     dm = build_discrete(
-        rect_mesh(4, 4), 2,
+        _scramble(rect_mesh(5, 4), 7), 2,
         bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
-    src = build_sources(
-        dm, [PointSource(position=(0.5, 0.6), f0=4.0, radius=0.2)],
-        dtype=jnp.float32)
-    _compare(dm, block=8, src=src)
+    assert detect_structured(dm) is None
+    _compare(dm, block=8)
 
 
-def test_upwind_lane_visco_source_driven():
+def test_upwind_lane_u_resume_chunks():
+    """run_xi chunked driver: two 2-step chunks == one 4-step run
+    (bitwise viscoelastic resume support)."""
+    dm, src, rcv, damp = _case_3d()
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    w = build_upwind_data(dm, MAT, dtype=jnp.float32)
+    visco = build_visco(p, 30.0, 20.0, 1.0, 10.0)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
+    st = _state(dm, dm.dim)
+    run = UnstructuredUpwindRunner(
+        p, w, dt, src=src, damp=damp, block=8, interpret=True,
+        visco=visco, centroids=np.asarray(dm.coords.mean(axis=1)))
+    full, xi_f, _ = run.run_xi(st, None, 4)
+    half, xi_h, _ = run.run_xi(st, None, 2)
+    resumed, xi_r, _ = run.run_xi(half, xi_h, 2, step0=2)
+    np.testing.assert_array_equal(np.asarray(resumed.u),
+                                  np.asarray(full.u))
+    np.testing.assert_array_equal(np.asarray(resumed.s),
+                                  np.asarray(full.s))
+    np.testing.assert_array_equal(np.asarray(xi_r), np.asarray(xi_f))
+
+
+def test_upwind_lane_u_visco_source_driven():
     """Zero initial state, all signal source-driven: catches anelastic-
     target contamination by the source (sources bypass the target,
     solver/rk4.py:78-93) that O(1) random-state comparisons mask."""
@@ -122,7 +143,6 @@ def test_upwind_lane_visco_source_driven():
 
     dm, src, rcv, damp = _case_3d()
     p = build_params(dm, MAT, dtype=jnp.float32)
-    ex = detect_structured(dm)
     w = build_upwind_data(dm, MAT, dtype=jnp.float32)
     visco = build_visco(p, 30.0, 20.0, 1.0, 10.0)
     dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
@@ -132,9 +152,10 @@ def test_upwind_lane_visco_source_driven():
     n = 12
     ref, _, seis_ref = run_rk4_visco(
         p, w, visco, st, dt, n, src=src, damp=damp, receivers=rcv)
-    run = UpwindLaneRunner(p, ex, w, dt, src=src, damp=damp,
-                           receivers=rcv, block=9, interpret=True,
-                           visco=visco)
+    run = UnstructuredUpwindRunner(
+        p, w, dt, src=src, damp=damp, receivers=rcv, block=8,
+        interpret=True, visco=visco,
+        centroids=np.asarray(dm.coords.mean(axis=1)))
     out, seis = run.run(st, n)
     scale = float(np.abs(np.asarray(ref.u)).max())
     assert scale > 0
