@@ -16,7 +16,7 @@ import time
 
 
 def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
-              impl="auto"):
+              impl="auto", scramble=False, vti=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +30,8 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
             timer = RegionTimer()
             with timer.region("setup"):
                 dm, p, src, damp, dt, state0 = setup_case(
-                    n=n, degree=degree, dtype=dtype, dim=dim
+                    n=n, degree=degree, dtype=dtype, dim=dim,
+                    scramble=scramble,
                 )
             with timer.region("run"):
                 impl_used = impl
@@ -40,7 +41,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                         try:
                             res = measure(p, src, damp, dt, state0,
                                           n_steps=n_steps, order=order,
-                                          impl=cand, dm=dm)
+                                          impl=cand, dm=dm, vti=vti)
                             impl_used = cand
                             break
                         except Exception:
@@ -48,7 +49,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                 else:
                     res = measure(p, src, damp, dt, state0,
                                   n_steps=n_steps, order=order, impl=impl,
-                                  dm=dm)
+                                  dm=dm, vti=vti)
             row = {
                 "dim": dim,
                 "degree": degree,
@@ -63,6 +64,8 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                 "backend": jax.devices()[0].platform,
                 "dtype": dtype_name,
                 "impl": impl_used,
+                "scramble": scramble,
+                "vti": vti,
             }
             rows.append(row)
             print(json.dumps(row))
@@ -83,6 +86,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--impl", type=str, default="auto")
+    ap.add_argument("--scramble", action="store_true",
+                    help="permute cells + drop structure metadata (the "
+                         "honest stand-in for a Gmsh unstructured import)")
+    ap.add_argument("--vti", action="store_true",
+                    help="per-element VTI Voigt stiffness through the "
+                         "runner's anisotropic Hooke path")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +109,8 @@ def main():
         args.dtype,
         args.out,
         impl=args.impl,
+        scramble=args.scramble,
+        vti=args.vti,
     )
     return 0
 

@@ -97,11 +97,64 @@ def setup_case(
 def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
     warmup: bool = True, impl: str = "einsum", dm=None,
+    vti: bool = False,
 ) -> BenchResult:
     """impl: einsum | xla_roll | pallas | pallas_roll (roll variants need
-    the DiscreteMesh ``dm`` for structure detection)."""
+    the DiscreteMesh ``dm`` for structure detection) | lane/fused/merged/
+    lane_u/*_sharded lane-major runners | upwind_lane / upwind_lane_u
+    (Godunov RK4).  ``vti``: per-element Voigt stiffness through the
+    runner's anisotropic Hooke path (lane/lane_u/fused/merged)."""
     dim = p.dim
     dm_for_ex = dm
+    stiffness = None
+    if vti:
+        from ..ops.anisotropic import vti_stiffness
+
+        E_ = p.Ginv.shape[0]
+        stiffness = np.broadcast_to(
+            vti_stiffness(2.0, 1.0, 1.0, epsilon=0.15, delta=0.05,
+                          gamma=0.1), (E_, 6, 6))
+
+    if impl in ("upwind_lane", "upwind_lane_u"):
+        from ..ops.upwind import build_upwind_data
+
+        w = build_upwind_data(dm, Material(rho=1.0, vp=2.0, vs=1.0),
+                              dtype=p.Ginv.dtype)
+        itp = jax.devices()[0].platform == "cpu"
+        if impl == "upwind_lane":
+            from ..ops.structured_exchange import detect_structured
+            from ..solver.lane_upwind import UpwindLaneRunner
+
+            ex = detect_structured(dm)
+            if ex is None:
+                raise ValueError("upwind_lane requires a structured mesh")
+            runner = UpwindLaneRunner(p, ex, w, dt, src=src, damp=damp,
+                                      interpret=itp)
+        else:
+            from ..solver.lane_upwind_u import UnstructuredUpwindRunner
+
+            runner = UnstructuredUpwindRunner(
+                p, w, dt, src=src, damp=damp, interpret=itp,
+                centroids=np.asarray(dm.coords.mean(axis=1)))
+        ulm, slm = runner.to_lm_state(state0)
+        if warmup:
+            u1, _, _ = runner.run_lm(ulm, slm, n_steps)
+            np.asarray(u1[0, 0])
+        dt_wall = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            u1, _, _ = runner.run_lm(ulm, slm, n_steps)
+            np.asarray(u1[0, 0])
+            dt_wall = min(dt_wall, time.perf_counter() - t0)
+        E = state0.u.shape[0]
+        n_p = state0.u.shape[1]
+        n_dof = E * n_p * (dim + n_sig_for(dim))
+        return BenchResult(
+            dof_updates_per_sec=n_dof * n_steps / dt_wall,
+            steps_per_sec=n_steps / dt_wall,
+            n_elements=E, n_dof=n_dof, degree=p.degree,
+            n_steps=n_steps, seconds=dt_wall,
+        )
     if impl in ("lane", "fused", "merged", "lane_u", "lane_u_sharded",
                 "lane_sharded", "fused_sharded"):
         if impl == "fused_sharded":
@@ -170,7 +223,8 @@ def measure(
 
             runner = UnstructuredLaneRunner(
                 p, dt, order=order, src=src, damp=damp,
-                centroids=np.asarray(dm.coords.mean(axis=1)))
+                centroids=np.asarray(dm.coords.mean(axis=1)),
+                stiffness=stiffness)
             ex = None
         else:
             from ..ops.structured_exchange import detect_structured
@@ -182,17 +236,17 @@ def measure(
             from ..solver.lane_fused import FusedLaneRunner
 
             runner = FusedLaneRunner(p, ex, dt, order=order, src=src,
-                                     damp=damp)
+                                     damp=damp, stiffness=stiffness)
         elif impl == "merged":
             from ..solver.lane_merged import MergedLaneRunner
 
             runner = MergedLaneRunner(p, ex, dt, order=order, src=src,
-                                      damp=damp)
+                                      damp=damp, stiffness=stiffness)
         elif impl == "lane":
             from ..solver.lane_major import LaneMajorRunner
 
             runner = LaneMajorRunner(p, ex, dt, order=order, src=src,
-                                     damp=damp)
+                                     damp=damp, stiffness=stiffness)
         # layout conversion happens once per simulation, not per chunk:
         # time the steady-state lane-major loop
         ulm, slm = runner.to_lm_state(state0)
