@@ -76,10 +76,10 @@ def main():
     ap.add_argument("--dd-shards", type=int, default=0,
                     help="domain-decompose EACH shot's forward+adjoint "
                          "sweeps over this many devices (--grad-path "
-                         "lane: slab-sharded, parallel/lane_diff_sharded;"
-                         " lane_u: Morton-block, parallel/"
-                         "unstructured_diff_sharded) — the scaling axis "
-                         "for a single too-big-for-one-chip shot")
+                         "lane: slab-sharded v1 ops; merged: slab-"
+                         "sharded v3 exchange-in-kernel ops; lane_u: "
+                         "Morton-block unstructured ops) — the scaling "
+                         "axis for a single too-big-for-one-chip shot")
     ap.add_argument("--inv-checkpoint", type=str, default=None,
                     help="inversion-state npz written every iteration; "
                          "with --inv-resume a killed inversion continues "
@@ -312,6 +312,13 @@ def main():
                 ldf = ShardedLaneDiffFwi(
                     p0, dm, ex, dt, n_steps, shots, rcv, None,
                     args.dd_shards, **kw)
+            elif args.grad_path == "merged":
+                from seigen_tpu.parallel.merged_diff_sharded import (
+                    ShardedMergedDiffFwi)
+
+                ldf = ShardedMergedDiffFwi(
+                    p0, dm, ex, dt, n_steps, shots, rcv, None,
+                    args.dd_shards, **kw)
             elif args.grad_path == "lane_u":
                 from seigen_tpu.parallel.unstructured_diff_sharded import (
                     ShardedUnstructuredDiffFwi)
@@ -321,7 +328,7 @@ def main():
                     args.dd_shards, **kw)
             else:
                 raise SystemExit(
-                    "--dd-shards supports --grad-path lane/lane_u")
+                    "--dd-shards supports --grad-path lane/merged/lane_u")
             grad_ops = f"{args.grad_path}_diff_dd{args.dd_shards}"
         else:
             from seigen_tpu.solver.lane_diff import LaneDiffFwi

@@ -125,14 +125,14 @@ class ShardedFusedRunner:
         geo = self._place(np.asarray(d.geo)[:, old_of_new])
         dmp = None
         if damp_arr is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn = np.zeros((d.npp, E), dtype=np.float64)
             dn[: d.n_p] = damp_arr[old_of_new].T
             dmp = jnp.asarray(self._place(dn), self.dtype)
         self.d = d = _dc.replace(
             d, geo=jnp.asarray(geo, self.dtype), damp=dmp)
 
         # boundary mask lanes (8, Ls) — slab slice per shard; dead lanes = 1
-        mk = np.ones((8, self.Ls), dtype=np.float32)
+        mk = np.ones((8, self.Ls), dtype=np.float64)
         for t in range(ex.m):
             for f in range(ex.n_faces):
                 mg = ex.self_mask[t, f].reshape(G0, self.Grest)
@@ -143,7 +143,7 @@ class ShardedFusedRunner:
         self.mask = jnp.asarray(mk, self.dtype)
 
         if damp_arr is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float32)
+            dn = np.zeros((d.npp, E), dtype=np.float64)
             dn[: d.n_p] = damp_arr[old_of_new].T
             dn = self._place(dn)
             self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
@@ -159,11 +159,11 @@ class ShardedFusedRunner:
         # normals for the traction-trace seed (state lanes)
         nrm = np.asarray(p.normals)[old_of_new]
         rep = np.repeat(np.arange(d.nf), d.n_fp)
-        nrm_exp = np.zeros((d.dim, d.ftpp, self.Ls), dtype=np.float32)
+        nrm_exp = np.zeros((d.dim, d.ftpp, self.Ls), dtype=np.float64)
         for dd in range(d.dim):
             nrm_exp[dd, : d.ftp] = self._place(nrm[:, rep, dd].T)
         self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
-        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float32)
+        rmat = np.zeros((d.ftpp, d.npp), dtype=np.float64)
         fn = np.array(p.fnodes).reshape(-1)
         rmat[np.arange(d.ftp), fn] = 1.0
         self._rmat = jnp.asarray(rmat, self.dtype)
@@ -229,8 +229,8 @@ class ShardedFusedRunner:
             return
         K = src.elems.shape[0]
         V = voigt_map(d.dim)
-        vu = np.zeros((d.dim * d.npp, K), dtype=np.float32)
-        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float32)
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
         for c in range(d.dim):
             vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                 src.vec_u[:, :, c]).T
@@ -244,8 +244,8 @@ class ShardedFusedRunner:
         vec_s = np.asarray(src.vec_s)
         # face-major trace patches, rows f*rtf + c*n_fp + k
         rtf = self.plan.rtf
-        tru = np.zeros((d.nf * rtf, K), dtype=np.float32)
-        trt = np.zeros((d.nf * rtf, K), dtype=np.float32)
+        tru = np.zeros((d.nf * rtf, K), dtype=np.float64)
+        trt = np.zeros((d.nf * rtf, K), dtype=np.float64)
         for c in range(d.dim):
             for f in range(d.nf):
                 rows = f * rtf + c * d.n_fp + np.arange(d.n_fp)
@@ -262,13 +262,13 @@ class ShardedFusedRunner:
         S_max = max(int(np.bincount(shard, minlength=self.P).max()), 1)
         elems_sh = np.zeros((self.P, S_max), dtype=np.int32)
         elems_tr_sh = np.zeros((self.P, S_max), dtype=np.int32)
-        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float32)
-        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float32)
-        tru_sh = np.zeros((self.P, tru.shape[0], S_max), np.float32)
-        trt_sh = np.zeros((self.P, trt.shape[0], S_max), np.float32)
-        f0 = np.ones((self.P, S_max), np.float32)
-        t0 = np.zeros((self.P, S_max), np.float32)
-        amp = np.zeros((self.P, S_max), np.float32)
+        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float64)
+        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float64)
+        tru_sh = np.zeros((self.P, tru.shape[0], S_max), np.float64)
+        trt_sh = np.zeros((self.P, trt.shape[0], S_max), np.float64)
+        f0 = np.ones((self.P, S_max), np.float64)
+        t0 = np.zeros((self.P, S_max), np.float64)
+        amp = np.zeros((self.P, S_max), np.float64)
         fill = np.zeros(self.P, dtype=np.int64)
         for kk in range(K):
             p_ = shard[kk]
@@ -300,8 +300,8 @@ class ShardedFusedRunner:
             sl_g = self._lane(e_new)  # GLOBAL state lanes
             dense = []
             for (f0g, t0g), idx in groups.items():
-                Su = np.zeros((d.dim * d.npp, self.Ls), np.float32)
-                Ss = np.zeros((d.n_sig * d.npp, self.Ls), np.float32)
+                Su = np.zeros((d.dim * d.npp, self.Ls), np.float64)
+                Ss = np.zeros((d.n_sig * d.npp, self.Ls), np.float64)
                 for kk in idx:
                     Su[:, sl_g[kk]] += vu[:, kk] * ampa[kk]
                     Ss[:, sl_g[kk]] += vs[:, kk] * ampa[kk]
@@ -328,7 +328,7 @@ class ShardedFusedRunner:
         R = len(e_new)
         elems_sh = np.zeros((self.P, R), dtype=np.int32)
         w_sh = np.zeros((self.P, R, np.asarray(rcv.weights).shape[1]),
-                        np.float32)
+                        np.float64)
         for r in range(R):
             elems_sh[shard[r], r] = local[r]
             w_sh[shard[r], r] = np.asarray(rcv.weights)[r]
@@ -432,6 +432,28 @@ class ShardedFusedRunner:
             if pad:
                 blocks.append(jnp.zeros((pad, plan.Ls), rows[0].dtype))
         blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
+        out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
+        for t in range(self.m):
+            out = jax.lax.dynamic_update_slice(
+                out, blk[:, t * plan.NCs : t * plan.NCs + self.NCloc],
+                (0, t * plan.NCt + plan.h0))
+        return out
+
+    def _field_traces_loc(self, flm, rmat, C):
+        """Own-face traces of a shard-local lane-major field in the
+        merged trace layout (the u-trace analog of
+        _traction_traces_loc; used by the DD gradient engine)."""
+        d, plan = self.d, self.plan
+        rows_c = [rmat @ flm[c * d.npp : (c + 1) * d.npp]
+                  for c in range(C)]
+        nfp, pad = d.n_fp, plan.rtf - C * d.n_fp
+        blocks = []
+        for f in range(plan.nf):
+            blocks += [rows_c[c][f * nfp : (f + 1) * nfp]
+                       for c in range(C)]
+            if pad:
+                blocks.append(jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
+        blk = jnp.concatenate(blocks, axis=0)
         out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
         for t in range(self.m):
             out = jax.lax.dynamic_update_slice(
