@@ -7,6 +7,7 @@
 set -u
 cd /root/repo
 LOG=results/r3_batch.log
+echo $$ > /tmp/r3_new_paths.pid  # chained scripts gate on this pid
 
 if [ -f /tmp/r3_resume.pid ]; then
   P=$(cat /tmp/r3_resume.pid)

@@ -9,6 +9,7 @@
 set -u
 cd /root/repo
 LOG=results/r3_batch.log
+echo $$ > /tmp/r3_resume.pid  # chained scripts gate on this pid
 echo "=== resume batch start $(date -u +%FT%TZ) ===" >> "$LOG"
 
 wait_tpu() {

@@ -30,6 +30,11 @@ from ..solver import (
 )
 
 
+# ONE material for the whole bench surface: setup_case's elastic params
+# and measure()'s Godunov impedances must stay physically consistent
+BENCH_MAT = Material(rho=1.0, vp=2.0, vs=1.0)
+
+
 @dataclass
 class BenchResult:
     dof_updates_per_sec: float
@@ -76,8 +81,7 @@ def setup_case(
             structure=None)
     bc_fn = absorbing_bc_fn(extents, free_sides=free)
     dm = build_discrete(topo, degree, bc_fn=bc_fn)
-    mat = Material(rho=1.0, vp=2.0, vs=1.0)
-    p = build_params(dm, mat, dtype=dtype)
+    p = build_params(dm, BENCH_MAT, dtype=dtype)
     h_elem = float(dm.h.min())
     src = build_sources(
         dm,
@@ -108,6 +112,11 @@ def measure(
     dm_for_ex = dm
     stiffness = None
     if vti:
+        if impl not in ("lane", "fused", "merged", "lane_u"):
+            # refuse rather than silently time isotropic physics under a
+            # row labeled vti=true
+            raise ValueError(f"vti=True is wired for lane/fused/merged/"
+                             f"lane_u runners, not impl={impl!r}")
         from ..ops.anisotropic import vti_stiffness
 
         E_ = p.Ginv.shape[0]
@@ -118,8 +127,7 @@ def measure(
     if impl in ("upwind_lane", "upwind_lane_u"):
         from ..ops.upwind import build_upwind_data
 
-        w = build_upwind_data(dm, Material(rho=1.0, vp=2.0, vs=1.0),
-                              dtype=p.Ginv.dtype)
+        w = build_upwind_data(dm, BENCH_MAT, dtype=p.Ginv.dtype)
         itp = jax.devices()[0].platform == "cpu"
         if impl == "upwind_lane":
             from ..ops.structured_exchange import detect_structured

@@ -124,3 +124,30 @@ def anelastic_rates(v: ViscoData, ds_el: jax.Array, xi: jax.Array,
               + dev[..., None] * v.y_mu[:, None, None, :])
     dxi = v.omegas * (target - xi)
     return dxi, xi.sum(axis=-1)
+
+
+def anelastic_rates_lm(ds_el, xi, yk, ym, omegas, dim: int, n_sig: int,
+                       npp: int):
+    """Lane-major twin of :func:`anelastic_rates` — THE anelastic
+    target lives here, not in the runners (both the structured merged
+    and the unstructured upwind runners consume it).
+
+    ds_el (n_sig*npp, L) unrelaxed elastic stress rate; xi (L_mem,
+    n_sig*npp, L) memory variables; yk/ym (L_mem, 1, L) anelastic
+    coefficients in lane layout; omegas (L_mem,).  Returns (dxi,
+    xi_sum).  Point sources must be injected into the RELAXED balance
+    AFTER this (solver/rk4.py:78-93) — they bypass the target.
+    """
+    import jax.numpy as jnp
+
+    xi_sum = xi.sum(axis=0)
+    iso_scalar = sum(
+        ds_el[c * npp : (c + 1) * npp] for c in range(dim)) / dim
+    iso = jnp.concatenate(
+        [iso_scalar] * dim
+        + [jnp.zeros(((n_sig - dim) * npp, ds_el.shape[1]),
+                     ds_el.dtype)], axis=0)
+    dev = ds_el - iso
+    target = iso[None] * yk + dev[None] * ym
+    dxi = omegas[:, None, None] * (target - xi)
+    return dxi, xi_sum

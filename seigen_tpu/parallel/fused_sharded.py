@@ -222,13 +222,10 @@ class ShardedFusedRunner:
         return out
 
     # --- sources / receivers ------------------------------------------
-    def _build_sources(self, p, src, new_of_old):
+    def _lane_source_vecs(self, src):
+        """(dim*npp, K) / (n_sig*npp, K) lane-major source vectors."""
         d = self.d
-        if src is None:
-            self.src = None
-            return
         K = src.elems.shape[0]
-        V = voigt_map(d.dim)
         vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
         vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
         for c in range(d.dim):
@@ -237,6 +234,58 @@ class ShardedFusedRunner:
         for c in range(d.n_sig):
             vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
                 src.vec_s[:, :, c]).T
+        return vu, vs
+
+    def _pack_state_sources(self, src):
+        """ONE shot's SourceData -> dict of shard-stacked STATE-lane
+        source arrays (keys elems/vu/vs/f0/t0/amp; amp=0 fill, per-shard
+        columns in ascending shot-point order) — shared by
+        _build_sources and the DD gradient engine
+        (parallel/merged_diff_sharded.py)."""
+        vu, vs = self._lane_source_vecs(src)
+        K = src.elems.shape[0]
+        e_new = self._new_of_old[np.asarray(src.elems)]
+        shard = e_new // (self.m * self.NCloc)
+        sl = self._lane(e_new) - shard * self.plan.Ls  # shard-local
+        S_max = max(int(np.bincount(shard, minlength=self.P).max()), 1)
+        elems_sh = np.zeros((self.P, S_max), dtype=np.int32)
+        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float64)
+        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float64)
+        f0 = np.ones((self.P, S_max), np.float64)
+        t0 = np.zeros((self.P, S_max), np.float64)
+        amp = np.zeros((self.P, S_max), np.float64)
+        fill = np.zeros(self.P, dtype=np.int64)
+        f0a = np.broadcast_to(np.asarray(src.f0, np.float64), (K,))
+        t0a = np.broadcast_to(np.asarray(src.t0, np.float64), (K,))
+        ampa = np.broadcast_to(np.asarray(src.amp, np.float64), (K,))
+        for kk in range(K):
+            p_ = shard[kk]
+            j = fill[p_]
+            elems_sh[p_, j] = sl[kk]
+            vu_sh[p_, :, j] = vu[:, kk]
+            vs_sh[p_, :, j] = vs[:, kk]
+            f0[p_, j] = f0a[kk]
+            t0[p_, j] = t0a[kk]
+            amp[p_, j] = ampa[kk]
+            fill[p_] += 1
+        return dict(
+            elems=jnp.asarray(elems_sh),
+            vu=jnp.asarray(vu_sh, self.dtype),
+            vs=jnp.asarray(vs_sh, self.dtype),
+            f0=jnp.asarray(f0, self.dtype),
+            t0=jnp.asarray(t0, self.dtype),
+            amp=jnp.asarray(amp, self.dtype),
+        )
+
+    def _build_sources(self, p, src, new_of_old):
+        d = self.d
+        if src is None:
+            self.src = None
+            return
+        st = self._pack_state_sources(src)
+        K = src.elems.shape[0]
+        V = voigt_map(d.dim)
+        vu, vs = self._lane_source_vecs(src)
         fnodes = np.array(p.fnodes)
         normals = np.asarray(p.normals)
         elems_old = np.asarray(src.elems)
@@ -257,31 +306,20 @@ class ShardedFusedRunner:
                 trt[rows] = acc.T
         e_new = new_of_old[elems_old]
         shard = e_new // (self.m * self.NCloc)
-        sl = self._lane(e_new) - shard * self.plan.Ls  # shard-local
         tl = self._lane(e_new, trace=True) - shard * self.plan.Lt
-        S_max = max(int(np.bincount(shard, minlength=self.P).max()), 1)
-        elems_sh = np.zeros((self.P, S_max), dtype=np.int32)
+        # trace-lane packing fills per-shard columns in the SAME
+        # ascending shot-point order as _pack_state_sources
+        S_max = st["elems"].shape[1]
         elems_tr_sh = np.zeros((self.P, S_max), dtype=np.int32)
-        vu_sh = np.zeros((self.P, vu.shape[0], S_max), np.float64)
-        vs_sh = np.zeros((self.P, vs.shape[0], S_max), np.float64)
         tru_sh = np.zeros((self.P, tru.shape[0], S_max), np.float64)
         trt_sh = np.zeros((self.P, trt.shape[0], S_max), np.float64)
-        f0 = np.ones((self.P, S_max), np.float64)
-        t0 = np.zeros((self.P, S_max), np.float64)
-        amp = np.zeros((self.P, S_max), np.float64)
         fill = np.zeros(self.P, dtype=np.int64)
         for kk in range(K):
             p_ = shard[kk]
             j = fill[p_]
-            elems_sh[p_, j] = sl[kk]
             elems_tr_sh[p_, j] = tl[kk]
-            vu_sh[p_, :, j] = vu[:, kk]
-            vs_sh[p_, :, j] = vs[:, kk]
             tru_sh[p_, :, j] = tru[:, kk]
             trt_sh[p_, :, j] = trt[:, kk]
-            f0[p_, j] = np.asarray(src.f0)[kk]
-            t0[p_, j] = np.asarray(src.t0)[kk]
-            amp[p_, j] = np.asarray(src.amp)[kk]
             fill[p_] += 1
 
         # dense per-wavelet-group patterns for kernel-fused injection
@@ -310,15 +348,10 @@ class ShardedFusedRunner:
                 self._src_groups.append((f0g, t0g))
             self.src_dense = tuple(dense)
         self.src = dict(
-            elems=jnp.asarray(elems_sh),
+            st,
             elems_tr=jnp.asarray(elems_tr_sh),
-            vu=jnp.asarray(vu_sh, self.dtype),
-            vs=jnp.asarray(vs_sh, self.dtype),
             tru=jnp.asarray(tru_sh, self.dtype),
             trt=jnp.asarray(trt_sh, self.dtype),
-            f0=jnp.asarray(f0, self.dtype),
-            t0=jnp.asarray(t0, self.dtype),
-            amp=jnp.asarray(amp, self.dtype),
         )
 
     def _pack_receivers(self, rcv, new_of_old):

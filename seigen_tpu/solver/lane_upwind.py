@@ -297,24 +297,15 @@ class UpwindLaneRunner(MergedLaneRunner):
             if self.src_elems is not None and dense is None:
                 du, ds_el, trk = add_columns(du, ds_el, trk, t_)
             return du, ds_el, trk, None
+        from ..ops.viscoelastic import anelastic_rates_lm
+
         d_ = self.d
-        xi_sum = xi.sum(axis=0)
+        dxi, xi_sum = anelastic_rates_lm(
+            ds_el, xi, aux["yk"], aux["ym"], aux["omegas"],
+            d_.dim, d_.n_sig, d_.npp)
         ds = ds_el - xi_sum
         trk = trk - self._payload_place(
             None, self._traction_rows(xi_sum))
-        # anelastic targets: iso/dev split of the UNRELAXED rate; point
-        # sources inject into the momentum/stress BALANCE afterwards —
-        # they bypass the anelastic target (solver/rk4.py:78-93)
-        npp, dim, n_sig = d_.npp, d_.dim, d_.n_sig
-        iso_scalar = sum(
-            ds_el[c * npp : (c + 1) * npp] for c in range(dim)) / dim
-        iso = jnp.concatenate(
-            [iso_scalar] * dim
-            + [jnp.zeros(((n_sig - dim) * npp, ds_el.shape[1]),
-                         ds_el.dtype)], axis=0)
-        dev = ds_el - iso
-        target = iso[None] * aux["yk"] + dev[None] * aux["ym"]
-        dxi = aux["omegas"][:, None, None] * (target - xi)
         if self.src_elems is not None:
             du, ds, trk = add_columns(du, ds, trk, t_)
         return du, ds, trk, dxi

@@ -142,22 +142,12 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         du = self._inject_u(aux, du, t_)
         if self.visco is None:
             return du, self._inject_s(aux, ds_el, t_), None
-        npp, dim, n_sig = d.npp, d.dim, d.n_sig
-        xi_sum = xi.sum(axis=0)
-        ds = ds_el - xi_sum
-        # anelastic targets: iso/dev split of the UNRELAXED rate; point
-        # sources inject into the momentum/stress BALANCE afterwards —
-        # they bypass the anelastic target (solver/rk4.py:78-93)
-        iso_scalar = sum(
-            ds_el[c * npp : (c + 1) * npp] for c in range(dim)) / dim
-        iso = jnp.concatenate(
-            [iso_scalar] * dim
-            + [jnp.zeros(((n_sig - dim) * npp, ds_el.shape[1]),
-                         ds_el.dtype)], axis=0)
-        dev = ds_el - iso
-        target = iso[None] * aux["yk"] + dev[None] * aux["ym"]
-        dxi = aux["omegas"][:, None, None] * (target - xi)
-        return du, self._inject_s(aux, ds, t_), dxi
+        from ..ops.viscoelastic import anelastic_rates_lm
+
+        dxi, xi_sum = anelastic_rates_lm(
+            ds_el, xi, aux["yk"], aux["ym"], aux["omegas"],
+            d.dim, d.n_sig, d.npp)
+        return du, self._inject_s(aux, ds_el - xi_sum, t_), dxi
 
     # --- RK4 step ----------------------------------------------------------
     def step_with(self, d, aux, carry, t):
