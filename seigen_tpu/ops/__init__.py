@@ -1,3 +1,4 @@
+from .curvilinear import CurviParams, build_curvi, curved_coords, make_curvi_ops
 from .upwind import UpwindData, apply_coupled_upwind, build_upwind_data
 from .elastic import (
     ElasticParams,
@@ -10,6 +11,10 @@ from .elastic import (
 )
 
 __all__ = [
+    "CurviParams",
+    "build_curvi",
+    "curved_coords",
+    "make_curvi_ops",
     "UpwindData",
     "apply_coupled_upwind",
     "build_upwind_data",
