@@ -22,18 +22,22 @@ def write_vtu(
     path: str,
     dm: DiscreteMesh,
     fields: dict[str, np.ndarray],
+    verts: np.ndarray | None = None,
 ) -> None:
     """Write nodal DG fields as a VTU file (linear sub-cells at the element
     vertices for simplicity and robustness across readers).
 
     fields: name -> (E, n_p, C) or (E, n_p) arrays.
+    verts: optional (E, dim+1, dim) element-vertex coordinate override —
+    curvilinear meshes (ops/curvilinear.py) pass their mapped vertices so
+    the written geometry shows the curved domain.
     """
     E = dm.num_elements
     dim = dm.dim
     re = dm.re
-    # vertices of each element from its nodal coords: the corner nodes are
-    # the first/last lexicographic nodes; safer: use topology directly.
-    verts = dm.topology.vertices[dm.topology.cells]  # (E, dim+1, dim)
+    if verts is None:
+        # vertices of each element from topology (affine geometry)
+        verts = dm.topology.vertices[dm.topology.cells]  # (E, dim+1, dim)
     npts = E * (dim + 1)
     pts3 = np.zeros((npts, 3))
     pts3[:, :dim] = verts.reshape(-1, dim)
@@ -111,17 +115,19 @@ def write_vtu(
 class PVDWriter:
     """Time-series collection: reference parity with Firedrake File('x.pvd')."""
 
-    def __init__(self, path: str, dm: DiscreteMesh):
+    def __init__(self, path: str, dm: DiscreteMesh,
+                 verts: np.ndarray | None = None):
         assert path.endswith(".pvd")
         self.path = path
         self.dm = dm
+        self.verts = verts
         self.base = path[:-4]
         self.entries: list[tuple[float, str]] = []
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
     def write(self, t: float, fields: dict[str, np.ndarray]) -> str:
         vtu = f"{self.base}_{len(self.entries):05d}.vtu"
-        write_vtu(vtu, self.dm, fields)
+        write_vtu(vtu, self.dm, fields, verts=self.verts)
         self.entries.append((t, os.path.basename(vtu)))
         self._flush()
         return vtu

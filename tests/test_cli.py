@@ -333,3 +333,20 @@ def test_explosive_source_cli_visco_gmsh(tmp_path):
     np.testing.assert_allclose(
         np.load(out_u)["seismograms"], np.load(out_e)["seismograms"],
         rtol=2e-4, atol=1e-7)
+
+
+def test_topography_cli(tmp_path):
+    """Curvilinear free-surface demo end-to-end: curved VTU geometry,
+    receivers riding the topography, finite seismograms."""
+    out = str(tmp_path / "topo.npz")
+    vtk = str(tmp_path / "topo.pvd")
+    r = run_cli(["scripts/topography.py", "--nx", "10", "--nz", "6",
+                 "--degree", "1", "--T", "0.15", "--cpu", "--amp", "0.08",
+                 "--out", out, "--vtk", vtk, "--vtk-every", "1000"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    d = np.load(out)
+    assert np.isfinite(d["seis"]).all()
+    # receivers sit ON the curved surface: the central hill lifts them
+    assert d["receivers_phys"][:, 1].max() > 1.01
+    vtu = open(str(tmp_path / "topo_00000.vtu")).read()
+    assert "UnstructuredGrid" in vtu
