@@ -108,6 +108,27 @@ class ShardedFusedRunner:
         self.block = bx
         self.plan = plan
 
+        # halo-payload row groups: the neighbour's windowed reads consume
+        # ONLY the producer face-row groups whose canonical shift crosses
+        # the axis-0 slab boundary (left halo: faces arriving from off[0]
+        # = -1, right halo: +1); every other halo row is read through
+        # boundary-masked windows at most, so its content never matters.
+        # Shipping just these groups cuts the ppermute payload ~2.7x in
+        # 3D (3 of 2*nf planes) / 2x in 2D — see the strong-scaling model
+        # in BENCH_NOTES.md.
+        from ..solver.lane_fused import _canonical_shift, derive_pairing
+
+        f2x, _ = derive_pairing(ex)
+        gl, gr = set(), set()
+        for t in range(ex.m):
+            for f in range(ex.n_faces):
+                off = _canonical_shift(ex, t, f)
+                if off[0] < 0:
+                    gl.add(int(f2x[t, f]))
+                elif off[0] > 0:
+                    gr.add(int(f2x[t, f]))
+        self._halo_g = (tuple(sorted(gl)), tuple(sorted(gr)))
+
         devices = (
             devices if devices is not None else jax.devices()[:n_shards])
         self.mesh = Mesh(np.array(devices), (AXIS,))
@@ -370,21 +391,35 @@ class ShardedFusedRunner:
 
     # --- shard-local step ---------------------------------------------
     def _fill_halo(self, tr_loc):
-        """Ship first/last supercell planes of the local producer traces to
-        the slab neighbours' halo lanes (ONE compact ppermute pair;
-        payload nf*rtf x m*Grest floats)."""
-        plan, Grest = self.plan, self.Grest
+        """Ship boundary-crossing supercell trace planes to the slab
+        neighbours' halo lanes (ONE compact ppermute pair; payload
+        len(self._halo_g) face-row groups x rtf x m*Grest floats — only
+        the rows the neighbour's cross-boundary windows actually read)."""
+        plan, Grest, rtf = self.plan, self.Grest, self.plan.rtf
         rows = tr_loc.shape[0]
         v = tr_loc.reshape(rows, self.m, plan.NCt)
         h0, NCloc = plan.h0, self.NCloc
-        first = v[:, :, h0 : h0 + Grest]
-        last = v[:, :, h0 + NCloc - Grest : h0 + NCloc]
+        gl, gr = self._halo_g
         fwd = [(i, (i - 1) % self.P) for i in range(self.P)]
         bwd = [(i, (i + 1) % self.P) for i in range(self.P)]
-        right = jax.lax.ppermute(first, AXIS, fwd)  # from shard p+1
-        left = jax.lax.ppermute(last, AXIS, bwd)  # from shard p-1
-        v = jax.lax.dynamic_update_slice(v, right, (0, 0, h0 + NCloc))
-        v = jax.lax.dynamic_update_slice(v, left, (0, 0, h0 - Grest))
+        if gr:  # shard p+1's first plane -> my right halo
+            first = jnp.concatenate(
+                [v[g * rtf : (g + 1) * rtf, :, h0 : h0 + Grest]
+                 for g in gr], 0)
+            right = jax.lax.ppermute(first, AXIS, fwd)
+            for k, g in enumerate(gr):
+                v = v.at[g * rtf : (g + 1) * rtf, :,
+                         h0 + NCloc : h0 + NCloc + Grest].set(
+                    right[k * rtf : (k + 1) * rtf])
+        if gl:  # shard p-1's last plane -> my left halo
+            last = jnp.concatenate(
+                [v[g * rtf : (g + 1) * rtf, :,
+                   h0 + NCloc - Grest : h0 + NCloc] for g in gl], 0)
+            left = jax.lax.ppermute(last, AXIS, bwd)
+            for k, g in enumerate(gl):
+                v = v.at[g * rtf : (g + 1) * rtf, :,
+                         h0 - Grest : h0].set(
+                    left[k * rtf : (k + 1) * rtf])
         return v.reshape(rows, self.m * plan.NCt)
 
     def _inject(self, aux, field, tr, vecs, tr_vecs, t):
