@@ -1,4 +1,5 @@
-from .analytic import PlaneWave
+from .analytic import (ExplosionGreens3D, ForceGreens3D,
+                       MomentGreens3D, PlaneWave)
 from .damping import absorbing_bc_fn, sponge_mask
 from .errors import convergence_order, interpolate, l2_error, l2_norm
 from .receivers import ReceiverData, build_receivers, line, sample
@@ -8,6 +9,9 @@ from .rk4 import make_rk4_step, run_rk4
 from .timestep import State, cfl_dt, make_step, run, run_jit, staggered_init
 
 __all__ = [
+    "ExplosionGreens3D",
+    "ForceGreens3D",
+    "MomentGreens3D",
     "PlaneWave",
     "absorbing_bc_fn",
     "sponge_mask",
