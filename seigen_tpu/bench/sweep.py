@@ -16,7 +16,7 @@ import time
 
 
 def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
-              impl="auto", scramble=False, vti=False):
+              impl="auto", scramble=False, vti=False, overlap=True):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                 else:
                     res = measure(p, src, damp, dt, state0,
                                   n_steps=n_steps, order=order, impl=impl,
-                                  dm=dm, vti=vti)
+                                  dm=dm, vti=vti, overlap=overlap)
             row = {
                 "dim": dim,
                 "degree": degree,
@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--scramble", action="store_true",
                     help="permute cells + drop structure metadata (the "
                          "honest stand-in for a Gmsh unstructured import)")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="fused_sharded: disable the interior/boundary "
+                         "overlap split (A/B of its 1-shard cost)")
     ap.add_argument("--vti", action="store_true",
                     help="per-element VTI Voigt stiffness through the "
                          "runner's anisotropic Hooke path")
@@ -111,6 +114,7 @@ def main():
         impl=args.impl,
         scramble=args.scramble,
         vti=args.vti,
+        overlap=not args.no_overlap,
     )
     return 0
 

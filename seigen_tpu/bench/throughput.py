@@ -101,13 +101,16 @@ def setup_case(
 def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
     warmup: bool = True, impl: str = "einsum", dm=None,
-    vti: bool = False,
+    vti: bool = False, overlap: bool = True,
 ) -> BenchResult:
     """impl: einsum | xla_roll | pallas | pallas_roll (roll variants need
     the DiscreteMesh ``dm`` for structure detection) | lane/fused/merged/
     lane_u/*_sharded lane-major runners | upwind_lane / upwind_lane_u
     (Godunov RK4).  ``vti``: per-element Voigt stiffness through the
-    runner's anisotropic Hooke path (lane/lane_u/fused/merged)."""
+    runner's anisotropic Hooke path (lane/lane_u/fused/merged).
+    ``overlap``: fused_sharded only — interior/boundary kernel split so
+    the halo ppermute hides under interior compute (A/B knob for the
+    1-shard hardware cost of the split)."""
     dim = p.dim
     dm_for_ex = dm
     stiffness = None
@@ -179,7 +182,8 @@ def measure(
             while ex.grid[0] % n_shards:
                 n_shards -= 1
             runner = ShardedFusedRunner(p, ex, dt, n_shards, order=order,
-                                        src=src, damp=damp)
+                                        src=src, damp=damp,
+                                        overlap=overlap)
         elif impl == "lane_sharded":
             # production config-5 pipeline through the bench surface; with
             # one local device this is the 1-shard hardware validation of

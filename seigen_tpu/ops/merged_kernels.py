@@ -322,19 +322,22 @@ def _stress_body_adapter(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
 
 
 def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
-                      interpret, body, C_outs, signs):
+                      interpret, body, C_outs, signs, jsel=None):
     """One per-class merged pallas_call; chains output buffers via
     aliasing (bufs: None or tuple of len(C_outs)+1 arrays — the field
     outputs + the trace output of the previous class's call).
 
     trs: (nf*rtf, Lt) face-major producer trace array.  C_outs: component
     counts of the field outputs.  signs: per-payload-component consumer
-    sign (len plan.pay).
+    sign (len plan.pay).  jsel: None (all NBs lane blocks) or
+    (n_blocks, fn) — run only the lane-block subset j = fn(grid index)
+    (the interior/boundary split of the sharded overlap path).
     """
     bx, NBs, NBt = plan.bx, plan.NBs, plan.NBt
     h0b = plan.h0 // bx
     rtf, nf = plan.rtf, plan.nf
     n_out = len(C_outs)
+    n_grid, tj = (NBs, lambda j: j) if jsel is None else jsel
 
     n_extra = len(extra)
     kernel = functools.partial(
@@ -342,7 +345,8 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
         n_extra, rtf, d.n_fp, d.ftp, d.ftpp, plan.pay, signs, n_out)
 
     def st_spec(rows):
-        return pl.BlockSpec((rows, bx), lambda j, t=t: (0, t * NBs + j),
+        return pl.BlockSpec((rows, bx),
+                            lambda j, t=t: (0, t * NBs + tj(j)),
                             memory_space=pltpu.VMEM)
 
     def tbl_spec(shape):
@@ -365,7 +369,7 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
         in_specs.append(pl.BlockSpec(
             (rtf, bx),
             lambda j, g=g, t2=t2, o=o: (
-                g, t2 * NBt + jnp.clip(h0b + j + o, 0, NBt - 1)),
+                g, t2 * NBt + jnp.clip(h0b + tj(j) + o, 0, NBt - 1)),
             memory_space=pltpu.VMEM))
     args += [d.drr, d.lift, d.erep]
     in_specs += [tbl_spec(d.drr.shape), tbl_spec(d.lift.shape),
@@ -373,7 +377,7 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
 
     return pl.pallas_call(
         kernel,
-        grid=(NBs,),
+        grid=(n_grid,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((C * d.npp, plan.Ls), field.dtype)
             for C in C_outs
@@ -381,12 +385,12 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
         in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((C * d.npp, bx),
-                         lambda j, t=t: (0, t * NBs + j),
+                         lambda j, t=t: (0, t * NBs + tj(j)),
                          memory_space=pltpu.VMEM)
             for C in C_outs
         ) + (
             pl.BlockSpec((nf * rtf, bx),
-                         lambda j, t=t: (0, t * NBt + h0b + j),
+                         lambda j, t=t: (0, t * NBt + h0b + tj(j)),
                          memory_space=pltpu.VMEM),
         ),
         input_output_aliases=(
@@ -396,7 +400,7 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
 
 
 def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
-                mask, dt, c3, interpret, n_inj=0):
+                mask, dt, c3, interpret, n_inj=0, jsel=None):
     """LF operator per-class call (see _class_call_multi)."""
     sign = -1.0 if kind.startswith("vel") else 1.0
     axpy = kind.endswith("axpy")
@@ -415,11 +419,86 @@ def _class_call(kind, plan, d, t, field, trs, obuf, tbuf, extra,
     bufs = None if obuf is None else (obuf, tbuf)
     return _class_call_multi(
         plan, d, t, field, trs, bufs, extra, mask, interpret, body,
-        (C_out,), (sign,) * plan.pay)
+        (C_out,), (sign,) * plan.pay, jsel=jsel)
+
+
+def boundary_blocks(plan: MergedPlan):
+    """Per class (kL, kR): how many lane blocks at each slab edge have a
+    windowed trace read that touches halo-plane lanes.  The complement —
+    the contiguous interior [kL, NBs - kR) — reads only lanes `_fill_halo`
+    never writes, so interior blocks may consume the PRE-fill trace array
+    and XLA's latency-hiding scheduler can run the halo `ppermute` under
+    them (BENCH_NOTES strong-scaling headroom item 2).
+
+    Conservative by construction: a block is boundary if ANY of its
+    windows' (rtf, bx) block reads intersects a halo-lane range, whether
+    or not the intersecting columns feed unmasked consumers.  Degenerate
+    slabs (every block boundary) return (NBs, 0) for that class.
+    """
+    bx, h0 = plan.bx, plan.h0
+    if h0 == 0:  # no halo lanes reserved (single-chip layout): no split
+        return tuple((0, 0) for _ in range(plan.m))
+    h0b = h0 // bx
+    NBs, NBt = plan.NBs, plan.NBt
+    NCloc, Grest = plan.NCloc, plan.Grest
+
+    def hits_halo(b):
+        lo, hi = b * bx, (b + 1) * bx
+        left = lo < h0 and hi > h0 - Grest
+        right = hi > h0 + NCloc and lo < h0 + NCloc + Grest
+        return left or right
+
+    out = []
+    for t in range(plan.m):
+        offs = sorted({o for (_, _, o) in plan.slots[t]})
+        bnd = set()
+        for j in range(NBs):
+            for o in offs:
+                b = h0b + j + o
+                # out-of-range reads are clamped by the index map AND
+                # fully boundary-masked (off-mesh): content irrelevant
+                if 0 <= b < NBt and hits_halo(b):
+                    bnd.add(j)
+                    break
+        kL = 0
+        while kL in bnd:
+            kL += 1
+        kR = 0
+        while NBs - 1 - kR >= kL and (NBs - 1 - kR) in bnd:
+            kR += 1
+        if kL >= NBs or any(kL <= j < NBs - kR for j in bnd):
+            kL, kR = NBs, 0  # no contiguous interior: all boundary
+        out.append((kL, kR))
+    return tuple(out)
+
+
+def _split_loop(plan, split, call):
+    """Run `call(t, trs_sel, jsel)` interior-first then boundary, chaining
+    the aliased output buffers (the overlap schedule of vel/stress_merged;
+    split = (trs_pre_fill, bsets))."""
+    trs_pre, bsets = split
+    obuf = tbuf = None
+    for t in range(plan.m):
+        kL, kR = bsets[t]
+        n_int = plan.NBs - kL - kR
+        if n_int > 0:
+            obuf, tbuf = call(
+                t, trs_pre, (n_int, lambda j, kL=kL: j + kL), obuf, tbuf)
+    for t in range(plan.m):
+        kL, kR = bsets[t]
+        if kL + kR > 0:
+            obuf, tbuf = call(
+                t, None,
+                (kL + kR,
+                 lambda j, kL=kL, kR=kR: jnp.where(
+                     j < kL, j, plan.NBs - kR - kL + j)),
+                obuf, tbuf)
+    return obuf, tbuf
 
 
 def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
-               interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None):
+               interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None,
+               split=None):
     """Merged velocity operator: consumes the PRODUCER traction trace
     array trs ((nf*rtf, Lt), face-major) directly (windows + in-kernel
     exchange), state sig_lm (n_sig*npp, Ls).  Returns
@@ -427,7 +506,13 @@ def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
 
     inject: None or [(S_g (dim*npp, Ls), r_g (8, Ls)), ...] — kernel-fused
     point-source groups: out += r_g[0]*S_g, with the emitted traces
-    including the source (plain ops only)."""
+    including the source (plain ops only).
+
+    split: None or (trs_pre_fill, boundary_blocks(plan)) — the sharded
+    overlap schedule: interior lane blocks read trs_pre_fill (they never
+    touch halo lanes, so the values are bitwise the ones in trs) and run
+    FIRST, letting XLA hoist the halo ppermute's collective-permute-start
+    above them; boundary blocks read the filled trs after."""
     assert not (axpy is not None and inject), "inject is plain-op only"
     extra = list(axpy) if axpy is not None else []
     n_inj = 0
@@ -436,6 +521,13 @@ def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
             extra += [s_g, r_g]
         n_inj = len(inject)
     kind = "vel_axpy" if axpy is not None else "vel"
+    if split is not None:
+        return _split_loop(
+            plan, split,
+            lambda t, tr_s, jsel, obuf, tbuf: _class_call(
+                kind, plan, d, t, sig_lm, trs if tr_s is None else tr_s,
+                obuf, tbuf, extra, mask, dt, c3, interpret,
+                n_inj=n_inj, jsel=jsel))
     obuf = tbuf = None
     for t in range(plan.m):
         obuf, tbuf = _class_call(kind, plan, d, t, sig_lm, trs, obuf,
@@ -445,10 +537,11 @@ def vel_merged(plan: MergedPlan, d: FusedOpData, sig_lm, trs, mask,
 
 
 def stress_merged(plan: MergedPlan, d: FusedOpData, u_lm, trs, mask,
-                  interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None):
+                  interpret=False, axpy=None, dt=0.0, c3=0.0, inject=None,
+                  split=None):
     """Merged stress operator: consumes PRODUCER velocity traces trs; axpy
-    additionally folds damp (d.damp) as in stress2_op.  inject: see
-    vel_merged (S_g has n_sig*npp rows here)."""
+    additionally folds damp (d.damp) as in stress2_op.  inject / split:
+    see vel_merged (S_g has n_sig*npp rows here)."""
     assert not (axpy is not None and inject), "inject is plain-op only"
     extra = list(axpy) if axpy is not None else []
     if axpy is not None and d.damp is not None:
@@ -459,6 +552,13 @@ def stress_merged(plan: MergedPlan, d: FusedOpData, u_lm, trs, mask,
             extra += [s_g, r_g]
         n_inj = len(inject)
     kind = "stress_axpy" if axpy is not None else "stress"
+    if split is not None:
+        return _split_loop(
+            plan, split,
+            lambda t, tr_s, jsel, obuf, tbuf: _class_call(
+                kind, plan, d, t, u_lm, trs if tr_s is None else tr_s,
+                obuf, tbuf, extra, mask, dt, c3, interpret,
+                n_inj=n_inj, jsel=jsel))
     obuf = tbuf = None
     for t in range(plan.m):
         obuf, tbuf = _class_call(kind, plan, d, t, u_lm, trs, obuf,

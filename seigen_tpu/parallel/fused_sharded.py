@@ -65,6 +65,7 @@ class ShardedFusedRunner:
         interpret: bool = False,
         devices=None,
         stiffness=None,
+        overlap: bool = True,
     ):
         if order != 4:
             raise ValueError("ShardedFusedRunner is LF4-only")
@@ -107,6 +108,22 @@ class ShardedFusedRunner:
             bx = max(b for b in BLOCK_LADDER if b < bx)
         self.block = bx
         self.plan = plan
+
+        # compute/communication overlap (BENCH_NOTES strong-scaling
+        # headroom item 2): split each operator into interior lane blocks
+        # (read the PRE-fill trace array — bitwise identical values, no
+        # data dependence on the ppermute) and boundary blocks (read the
+        # filled array), so XLA's latency-hiding scheduler can run the
+        # halo collective-permute under the interior kernels.  Disabled
+        # when every class is all-boundary (slabs ~1 supercell thick):
+        # the split would only double the kernel-launch count.
+        from ..ops.merged_kernels import boundary_blocks
+
+        bsets = boundary_blocks(plan)
+        self._bsets = (
+            bsets if overlap and any(
+                plan.NBs - kL - kR > 0 for kL, kR in bsets)
+            else None)
 
         # halo-payload row groups: the neighbour's windowed reads consume
         # ONLY the producer face-row groups whose canonical shift crosses
@@ -438,6 +455,10 @@ class ShardedFusedRunner:
         plan = self.plan
         dt, c3 = self._dt_f, self._c3_f
         fill = self._fill_halo
+        bsets = self._bsets
+
+        def spl(tr):  # overlap split arg (None when disabled)
+            return None if bsets is None else (tr, bsets)
 
         dense = aux.get("dense_src")
         vel_src = stress_src = None
@@ -450,28 +471,29 @@ class ShardedFusedRunner:
 
             def vel_src(s, tr, t_):
                 return vel_merged(
-                    plan, d, s, fill(tr), mask, itp,
+                    plan, d, s, fill(tr), mask, itp, split=spl(tr),
                     inject=[(dense[g][0], rfull(t_, g))
                             for g in range(len(dense))])
 
             def stress_src(u, tr, t_):
                 return stress_merged(
-                    plan, d, u, fill(tr), mask, itp,
+                    plan, d, u, fill(tr), mask, itp, split=spl(tr),
                     inject=[(dense[g][1], rfull(t_, g))
                             for g in range(len(dense))])
 
         lf = compose_lf_step_traced(
             vel_src=vel_src,
             stress_src=stress_src,
-            vel=lambda s, tr: vel_merged(plan, d, s, fill(tr), mask, itp),
+            vel=lambda s, tr: vel_merged(
+                plan, d, s, fill(tr), mask, itp, split=spl(tr)),
             stress=lambda u, tr: stress_merged(
-                plan, d, u, fill(tr), mask, itp),
+                plan, d, u, fill(tr), mask, itp, split=spl(tr)),
             vel_axpy=lambda s, tr, u, uh1: vel_merged(
                 plan, d, s, fill(tr), mask, itp, axpy=(u, uh1),
-                dt=dt, c3=c3),
+                dt=dt, c3=c3, split=spl(tr)),
             stress_axpy=lambda u, tr, s, sh1: stress_merged(
                 plan, d, u, fill(tr), mask, itp, axpy=(s, sh1),
-                dt=dt, c3=c3),
+                dt=dt, c3=c3, split=spl(tr)),
             inject_u=lambda f, tr, t_: self._inject(
                 aux, f, tr, aux.get("src_vu"), aux.get("src_tru"), t_),
             inject_s=lambda f, tr, t_: self._inject(

@@ -89,6 +89,41 @@ def test_sharded_fused_8_shards_slab_width_1():
         np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_fused_overlap_split():
+    """Compute/communication overlap split (interior blocks read the
+    PRE-fill trace array, boundary blocks the filled one): n0=8 at 2
+    shards with block=8 yields a genuine interior block per class, so the
+    split path actually runs.  Split and unsplit are the same arithmetic
+    per lane block (verified to 1 ULP in an f64 run of this exact case);
+    in f32 the two DIFFERENT XLA programs round the shared glue
+    (trace seed, fill, scan carry) differently, so the assert is a tight
+    tolerance, not bitwise.  Also matched against the single-chip merged
+    runner at the standard invariance tolerance."""
+    dm, p, ex, dt, st, src, rcv, damp = _case(n0=8)
+    r_ov = ShardedFusedRunner(p, ex, dt, 2, order=4, src=src, damp=damp,
+                              receivers=rcv, block=8, interpret=True,
+                              overlap=True)
+    assert r_ov._bsets is not None, "split should be active at this size"
+    assert any(r_ov.plan.NBs - kL - kR > 0 for kL, kR in r_ov._bsets)
+    r_no = ShardedFusedRunner(p, ex, dt, 2, order=4, src=src, damp=damp,
+                              receivers=rcv, block=8, interpret=True,
+                              overlap=False)
+    a, seis_a = r_ov.run(st, 3)
+    b, seis_b = r_no.run(st, 3)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.s), np.asarray(b.s),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(seis_a, seis_b, rtol=1e-4, atol=1e-6)
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True)
+    refo, _ = ref.run(st, 3)
+    np.testing.assert_allclose(
+        np.asarray(a.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_fused_resume_equivalence():
     """step0-based resume: 2+2 steps == 4 steps.  Tolerance, not bitwise:
     the resumed run re-seeds the carried traction traces from the stress
