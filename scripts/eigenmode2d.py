@@ -20,7 +20,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--degree", type=int, default=2, choices=[1, 2, 3, 4])
+    ap.add_argument("--degree", type=int, default=2, choices=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--sizes", type=str, default="4,8,16",
                     help="comma-separated mesh sizes N (NxN quads x2 tris)")
     ap.add_argument("--order", type=int, default=4, choices=[2, 4],

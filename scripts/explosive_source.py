@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=2, choices=[2, 3])
     ap.add_argument("--n", type=int, default=32, help="elements per unit axis")
-    ap.add_argument("--degree", type=int, default=2, choices=[1, 2, 3, 4])
+    ap.add_argument("--degree", type=int, default=2, choices=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--order", type=int, default=4, choices=[2, 4])
     ap.add_argument("--T", type=float, default=1.0)
     ap.add_argument("--cfl", type=float, default=0.4)

@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--nz", type=int, default=24)
     ap.add_argument("--lx", type=float, default=2.0)
     ap.add_argument("--lz", type=float, default=1.0)
-    ap.add_argument("--degree", type=int, default=3, choices=[1, 2, 3, 4])
+    ap.add_argument("--degree", type=int, default=3, choices=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--T", type=float, default=0.8)
     ap.add_argument("--amp", type=float, default=0.08,
                     help="topography amplitude (fraction of lz ~ hill height)")

@@ -1,4 +1,4 @@
-"""Reference-element tables for nodal DG on simplices (P1-P4, tri/tet).
+"""Reference-element tables for nodal DG on simplices (P1-P8, tri/tet).
 
 This module replaces the reference stack's form-compiler layer (SURVEY.md §2
 layers 4-5: UFL -> TSFC/COFFEE generated C kernels).  Instead of generating
@@ -11,8 +11,10 @@ the host in float64 and apply them on TPU as batched matmuls:
   - ``fnodes``  : volume-node indices on each face (traces of the nodal basis)
 
 Construction is deliberately simple and verifiable: equispaced nodal points,
-monomial Vandermonde inversion, and collapsed Gauss-Jacobi quadrature that is
-exact for every integral appearing here.  Unit tests check mass/stiffness
+monomial Vandermonde inversion (quadrature-orthonormalized working basis past
+P4, where the raw monomial Vandermonde becomes too ill-conditioned), and
+collapsed Gauss-Jacobi quadrature that is exact for every integral appearing
+here.  Unit tests check mass/stiffness
 matrices against sympy exact integration and the discrete integration-by-parts
 identity M @ Dr + Dr^T @ M == sum_f n_f,r * E_f (tests/test_refelem.py).
 """
@@ -23,6 +25,7 @@ import itertools
 from dataclasses import dataclass, field
 
 import numpy as np
+import scipy.linalg
 
 from .quadrature import simplex_quadrature
 
@@ -140,6 +143,28 @@ def _face_vertex_ids(dim: int) -> np.ndarray:
     return np.array(ids, dtype=np.int64)
 
 
+def _orthonormalized_nodal_inverse(
+    exps: np.ndarray, nodes: np.ndarray, dim: int, degree: int
+) -> np.ndarray:
+    """Composite coefficient map `Ainv` with `mono(pts) @ Ainv` = nodal basis.
+
+    Orthonormalizes the monomial span against the volume-quadrature inner
+    product (QR of sqrt(w)-weighted monomial values), then inverts the nodal
+    Vandermonde of the ORTHONORMAL basis — conditioning drops from the
+    monomial Vandermonde's ~1e9 (3D P6, equispaced) to the Lebesgue level.
+    """
+    qx, qw = simplex_quadrature(dim, 2 * degree + 2)
+    Phi = _eval_monomials(exps, qx)  # (nq, n_p)
+    _, R = np.linalg.qr(np.sqrt(qw)[:, None] * Phi)
+    # Fix QR sign ambiguity for determinism across BLAS builds.
+    s = np.sign(np.diag(R))
+    s[s == 0] = 1.0
+    R = s[:, None] * R
+    Rinv = scipy.linalg.solve_triangular(R, np.eye(R.shape[0]))
+    P_nodes = _eval_monomials(exps, nodes) @ Rinv  # orthonormal basis at nodes
+    return Rinv @ np.linalg.inv(P_nodes)
+
+
 _CACHE: dict[tuple[int, int], RefElem] = {}
 
 
@@ -151,16 +176,31 @@ def ref_elem(dim: int, degree: int) -> RefElem:
 
     if dim not in (2, 3):
         raise ValueError("dim must be 2 or 3")
-    if not (1 <= degree <= 4):
-        raise ValueError("degree must be in 1..4 (reference parity: P1-P4)")
+    if not (1 <= degree <= 8):
+        raise ValueError(
+            "degree must be in 1..8 (P1-P4 = reference parity; P5-P8 = "
+            "beyond-parity high-order elements)"
+        )
 
     exps = monomial_exponents(dim, degree)
     nodes = _equispaced_nodes(dim, degree)
     n_p = nodes.shape[0]
     assert exps.shape[0] == n_p
 
-    A = _eval_monomials(exps, nodes)  # (n_p, n_p)
-    Ainv = np.linalg.inv(A)
+    if degree <= 4:
+        A = _eval_monomials(exps, nodes)  # (n_p, n_p)
+        Ainv = np.linalg.inv(A)
+    else:
+        # Past P4 the raw monomial Vandermonde at equispaced nodes is too
+        # ill-conditioned (cond ~1e9 at 3D P6) to invert directly, so work
+        # in a quadrature-orthonormalized basis: weighted QR of the
+        # monomials at the volume quadrature gives p = mono @ Rinv with
+        # \int p_i p_j = delta_ij, and the composite Ainv = Rinv @
+        # inv(p(nodes)) keeps every downstream `mono(pts) @ Ainv` identity
+        # (eval_basis, Vq, Dr, M = Ainv^T G Ainv) intact while the matrix
+        # actually inverted is well-conditioned.  P1-P4 keep the original
+        # path bit-for-bit (validated tables; warm .jax_cache programs).
+        Ainv = _orthonormalized_nodal_inverse(exps, nodes, dim, degree)
 
     # Volume quadrature, exact for 2*degree integrands with margin.
     qx, qw = simplex_quadrature(dim, 2 * degree + 2)
@@ -225,8 +265,10 @@ def ref_elem(dim: int, degree: int) -> RefElem:
         if fdim == 0:
             Mf0 = np.ones((1, 1))
         else:
-            Af = _eval_monomials(fexps, fp)
-            Afinv = np.linalg.inv(Af)
+            if degree <= 4:
+                Afinv = np.linalg.inv(_eval_monomials(fexps, fp))
+            else:
+                Afinv = _orthonormalized_nodal_inverse(fexps, fp, fdim, degree)
             Vfq_face = _eval_monomials(fexps, fq_x) @ Afinv  # (nfq, n_fp)
             Mf0 = Vfq_face.T @ (fq_w[:, None] * Vfq_face)
         for kp in range(n_fp):

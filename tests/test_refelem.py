@@ -14,7 +14,9 @@ import sympy as sp
 from seigen_tpu.refelem import ref_elem, simplex_quadrature
 from seigen_tpu.refelem.tables import monomial_exponents
 
-DIMS_DEGREES = [(d, q) for d in (2, 3) for q in (1, 2, 3, 4)]
+# P1-P4 = reference parity; P5-P6 = beyond-parity high-order elements
+# (quadrature-orthonormalized nodal basis past P4 — see refelem/tables.py).
+DIMS_DEGREES = [(d, q) for d in (2, 3) for q in (1, 2, 3, 4, 5, 6)]
 
 
 def _exact_simplex_monomial(exps):
