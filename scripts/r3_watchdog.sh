@@ -16,7 +16,7 @@ alive() { [ -f "$1" ] && kill -0 "$(cat "$1")" 2>/dev/null; }
 
 chain_alive() {
   for f in /tmp/r3_resume.pid /tmp/r3_new_paths.pid \
-           /tmp/r3_round_off.pid /tmp/r3_overlap.pid; do
+           /tmp/r3_round_off.pid /tmp/r3_overlap.pid /tmp/r3_p5.pid; do
     alive "$f" && return 0
   done
   return 1
@@ -27,7 +27,8 @@ done_all() {
   [ -f results/fwi_salt3d_merged.npz ] && \
   [ -f results/r3_iso_lane_u_refresh.json ] && \
   [ -f results/rtm2d_lane.json ] && \
-  [ -f results/r3_overlap_off.json ]
+  [ -f results/r3_overlap_off.json ] && \
+  [ -f results/r3_p5_lane.json ]
 }
 
 END=$(( $(date +%s) + 140000 ))   # bounded: give up after ~39 h
@@ -42,6 +43,7 @@ while [ "$(date +%s)" -lt "$END" ]; do
     bash scripts/r3_new_paths.sh
     bash scripts/r3_round_off.sh
     bash scripts/r3_overlap.sh
+    bash scripts/r3_p5.sh
   fi
   sleep 300
 done
