@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--qs", type=float, default=None,
                     help="S/shear quality factor Q_mu (viscoelastic "
                          "attenuation; requires --scheme upwind-rk4)")
+    ap.add_argument("--pml", type=float, default=None,
+                    help="C-PML width (domain units) on the absorbing "
+                         "sides, replacing the Cerjan sponge (single-chip "
+                         "einsum RK4 path; beyond-parity — the reference "
+                         "had characteristic BCs only)")
     ap.add_argument("--scheme", choices=["lf", "upwind-rk4"], default="lf",
                     help="'lf': staggered leapfrog + central flux (reference "
                          "parity); 'upwind-rk4': Godunov flux + RK4 "
@@ -247,7 +252,50 @@ def main():
           f"steps={n_steps} f0={f0:.1f}")
 
     seis_chunks = []
-    if args.shards:
+    if args.pml is not None:
+        # C-PML branch: direction-split einsum operators + RK4 memory-
+        # variable integration (solver/pml.py).  The PML backs onto the
+        # characteristic absorbing faces already set by bc_fn, which mop
+        # up the residual normal-incidence energy at the outer boundary.
+        if args.shards or args.scheme != "lf" or args.vti or (
+                args.qp is not None or args.qs is not None):
+            raise SystemExit("--pml is single-chip, isotropic, elastic "
+                             "(no --shards/--vti/--qp/--qs; its stepper "
+                             "is its own RK4, not --scheme)")
+        if args.checkpoint or args.resume:
+            raise SystemExit("--pml does not support checkpoint/resume yet")
+        if args.impl not in ("auto", "einsum"):
+            raise SystemExit("--pml rides the einsum path (--impl auto)")
+        from seigen_tpu.solver import cpml_init, cpml_profiles, make_cpml_rhs
+        from seigen_tpu.solver.pml import run_cpml
+
+        dprof, aprof = cpml_profiles(dm, absorb, args.pml, vp_max, f0=f0)
+        rhs = make_cpml_rhs(p, dprof, aprof, src=src)
+        cst = cpml_init(p, st.u, st.s)
+        print(f"impl: cpml (width={args.pml}, RK4 einsum, "
+              f"{len(absorb)} sides)")
+        pvd = PVDWriter(args.vtk, dm) if args.vtk else None
+        chunk = min(args.vtk_every if pvd else n_steps, n_steps)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def advance_pml(cst, n0, k):
+            return run_cpml(p, cst, dt, k, rhs, receivers=rcv, step0=n0)
+
+        with timer.region("run"):
+            n = 0
+            while n < n_steps:
+                k = min(chunk, n_steps - n)
+                cst, ys = advance_pml(cst, jnp.asarray(n, jnp.int32), k)
+                seis_chunks.append(np.asarray(ys))
+                n += k
+                if pvd and (n % args.vtk_every == 0 or n == n_steps):
+                    pr = -np.asarray(cst.s)[..., :dim].mean(axis=-1)
+                    pvd.write(n * dt, {"u": np.asarray(cst.u), "p": pr})
+            jax.block_until_ready(cst.u)
+        st = State(u=cst.u, s=cst.s)
+    elif args.shards:
         # production config-5 pipeline: slab-sharded lane-major Pallas
         # kernels when the mesh allows it (structured, shards | G0),
         # general unstructured ppermute halo path otherwise

@@ -350,3 +350,20 @@ def test_topography_cli(tmp_path):
     assert d["receivers_phys"][:, 1].max() > 1.01
     vtu = open(str(tmp_path / "topo_00000.vtu")).read()
     assert "UnstructuredGrid" in vtu
+
+
+def test_explosive_source_cli_pml(tmp_path):
+    """--pml C-PML branch end-to-end: runs, stays finite, writes seis."""
+    out = str(tmp_path / "seis_pml.npz")
+    r = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "8",
+                 "--degree", "2", "--T", "0.2", "--pml", "0.25", "--cpu",
+                 "--out", out])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "impl: cpml" in r.stdout
+    z = np.load(out)
+    assert np.all(np.isfinite(z["seismograms"]))
+    # combination guards
+    r = run_cli(["scripts/explosive_source.py", "--dim", "2", "--n", "4",
+                 "--degree", "1", "--T", "0.05", "--pml", "0.2", "--cpu",
+                 "--shards", "2"])
+    assert r.returncode != 0
