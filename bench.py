@@ -7,7 +7,9 @@ this environment (see BASELINE.md); the CPU denominator is measured per-DOF
 so problem-size differences cancel to first order.
 """
 
+import hashlib
 import json
+import os
 import subprocess
 import sys
 
@@ -35,6 +37,64 @@ def tpu_alive(timeout: float = 240.0) -> bool:
         return False
 
 
+_CPU_BASELINE = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from seigen_tpu.bench.throughput import measure, setup_case
+dm, p, src, damp, dt, state0 = setup_case(n=8, degree=3)
+# best-of-3: the CPU denominator otherwise jitters 2-3x with host load
+# and pollutes the reported speedup
+r = max(measure(p, src, damp, dt, state0, n_steps=10).dof_updates_per_sec
+        for _ in range(3))
+print("CPU_BASELINE_DOF_RATE", r)
+"""
+
+
+def _host_cpu_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU persistent-cache entries are AOT executables for the exact
+    ISA of the machine that compiled them; the cache key does NOT include
+    host CPU features, so after a container migration a load can SIGILL
+    ('Machine type used for XLA:CPU compilation doesn't match...').
+    Keying the CPU cache dir by the flags line makes a moved container
+    recompile instead of loading another machine's code.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
+def cpu_baseline_rate(timeout: float = 1500.0) -> float | None:
+    """Measure the CPU-proxy denominator in an isolated subprocess.
+
+    Isolation matters twice over: a stale CPU AOT cache entry can SIGILL
+    (killing an in-process measurement along with the whole driver run),
+    and pinning the subprocess to CPU keeps it off the TPU tunnel.
+    """
+    cache = f"/root/repo/.jax_cache_cpu_{_host_cpu_fingerprint()}"
+    try:
+        cp = subprocess.run(
+            [sys.executable, "-c", _CPU_BASELINE.format(cache_dir=cache)],
+            timeout=timeout, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in cp.stdout.splitlines():
+            if line.startswith("CPU_BASELINE_DOF_RATE"):
+                return float(line.split()[1])
+        print(f"bench: CPU baseline subprocess rc={cp.returncode}: "
+              f"{cp.stderr[-500:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("bench: CPU baseline subprocess timed out", file=sys.stderr)
+    return None
+
+
 def main():
     import jax
 
@@ -50,23 +110,9 @@ def main():
 
     from seigen_tpu.bench.throughput import main as bench_main
 
-    # CPU baseline proxy: small problem, same numerics, CPU backend.
-    # Run in a subprocess to keep backends clean? CPU devices are always
-    # available alongside; measure via jax.default_device.
-    cpu = jax.local_devices(backend="cpu")[0] if backend != "cpu" else None
-    baseline_rate = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            from seigen_tpu.bench.throughput import measure, setup_case
-
-            dm, p, src, damp, dt, state0 = setup_case(n=8, degree=3)
-            # best-of-3: the CPU denominator otherwise jitters 2-3x with
-            # host load and pollutes the reported speedup
-            baseline_rate = max(
-                measure(p, src, damp, dt, state0, n_steps=10)
-                .dof_updates_per_sec
-                for _ in range(3)
-            )
+    # CPU baseline proxy: small problem, same numerics, CPU backend,
+    # measured in a subprocess (see cpu_baseline_rate).
+    baseline_rate = cpu_baseline_rate() if backend != "cpu" else None
 
     out = bench_main(n=24, degree=3, n_steps=50,
                      baseline_dof_rate=baseline_rate)
