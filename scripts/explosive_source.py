@@ -393,14 +393,15 @@ def main():
             exch = detect_structured(dm)
             if exch is None:
                 impl = "lane_u"
-            elif args.order == 4 and dim == 3:
-                # merged v3 exchange-in-kernel pipeline is the 3D flagship
-                # (BENCH_NOTES round 3); falls back to fused below if the
+            elif args.order == 4:
+                # merged v3 exchange-in-kernel pipeline is the flagship in
+                # BOTH dims (BENCH_NOTES round-3 2D A/B: merged 4.09e9 vs
+                # lane 1.98e9 at P3 E=131k — the round-2 "2D regression"
+                # was a v2 artifact); falls back to fused below if the
                 # mesh violates its window constraints
                 impl = "merged"
             else:
-                # in 2D the v1 lane path measures slightly faster than v2
-                # (BENCH_NOTES)
+                # LF2: the merged stage sequence is LF4-specific
                 impl = "lane"
         if impl in ("lane", "fused", "merged", "lane_u") and (
                 args.scheme == "lf"):
