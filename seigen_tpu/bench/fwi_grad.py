@@ -18,7 +18,6 @@ Usage:
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import jax
@@ -27,7 +26,7 @@ import numpy as np
 
 
 def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
-        seed=0, paths=("roll", "lane", "merged")):
+        seed=0, paths=("roll", "lane", "merged"), out_path=None):
     from ..mesh import box_mesh, build_discrete
     from ..ops import Material, build_params  # noqa: F401 (CLI symmetry)
     from ..ops.structured_exchange import (detect_structured,
@@ -141,15 +140,28 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
         out["speedup_merged_vs_lane"] = (
             out["lane"]["vg_seconds"] / out["merged"]["vg_seconds"])
     print(json.dumps(out))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
     return out
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    n = int(args[0]) if len(args) > 0 else 24
-    degree = int(args[1]) if len(args) > 1 else 1
-    steps = int(args[2]) if len(args) > 2 else 200
-    repeats = int(args[3]) if len(args) > 3 else 2
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", type=int, nargs="?", default=24)
+    ap.add_argument("degree", type=int, nargs="?", default=1)
+    ap.add_argument("steps", type=int, nargs="?", default=200)
+    ap.add_argument("repeats", type=int, nargs="?", default=2)
+    ap.add_argument("--shots", type=int, default=2)
+    ap.add_argument("--segment", type=int, default=20)
+    ap.add_argument("--paths", type=str, default="roll,lane,merged")
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the result JSON here (artifact gating)")
+    args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    run(n=n, degree=degree, n_steps=steps, repeats=repeats)
+    run(n=args.n, degree=args.degree, n_steps=args.steps,
+        repeats=args.repeats, shots=args.shots, segment=args.segment,
+        paths=tuple(args.paths.split(",")), out_path=args.out)

@@ -16,7 +16,8 @@ import time
 
 
 def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
-              impl="auto", scramble=False, vti=False, overlap=True):
+              impl="auto", scramble=False, vti=False, overlap=True,
+              fill_mode="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,8 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                 else:
                     res = measure(p, src, damp, dt, state0,
                                   n_steps=n_steps, order=order, impl=impl,
-                                  dm=dm, vti=vti, overlap=overlap)
+                                  dm=dm, vti=vti, overlap=overlap,
+                                  fill_mode=fill_mode)
             row = {
                 "dim": dim,
                 "degree": degree,
@@ -66,6 +68,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                 "impl": impl_used,
                 "scramble": scramble,
                 "vti": vti,
+                "fill_mode": fill_mode,
             }
             rows.append(row)
             print(json.dumps(row))
@@ -92,6 +95,10 @@ def main():
     ap.add_argument("--no-overlap", action="store_true",
                     help="fused_sharded: disable the interior/boundary "
                          "overlap split (A/B of its 1-shard cost)")
+    ap.add_argument("--fill-mode", type=str, default="auto",
+                    choices=["auto", "off", "ppermute", "local", "skip"],
+                    help="fused_sharded halo-fill strategy (1-shard "
+                         "split probes; see ShardedFusedRunner)")
     ap.add_argument("--vti", action="store_true",
                     help="per-element VTI Voigt stiffness through the "
                          "runner's anisotropic Hooke path")
@@ -115,6 +122,7 @@ def main():
         scramble=args.scramble,
         vti=args.vti,
         overlap=not args.no_overlap,
+        fill_mode=args.fill_mode,
     )
     return 0
 

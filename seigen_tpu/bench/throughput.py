@@ -101,7 +101,7 @@ def setup_case(
 def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
     warmup: bool = True, impl: str = "einsum", dm=None,
-    vti: bool = False, overlap: bool = True,
+    vti: bool = False, overlap: bool = True, fill_mode: str = "auto",
 ) -> BenchResult:
     """impl: einsum | xla_roll | pallas | pallas_roll (roll variants need
     the DiscreteMesh ``dm`` for structure detection) | lane/fused/merged/
@@ -110,7 +110,9 @@ def measure(
     runner's anisotropic Hooke path (lane/lane_u/fused/merged).
     ``overlap``: fused_sharded only — interior/boundary kernel split so
     the halo ppermute hides under interior compute (A/B knob for the
-    1-shard hardware cost of the split)."""
+    1-shard hardware cost of the split).  ``fill_mode``: fused_sharded
+    only — halo-fill strategy / 1-shard split probes (see
+    ShardedFusedRunner)."""
     dim = p.dim
     dm_for_ex = dm
     stiffness = None
@@ -183,7 +185,8 @@ def measure(
                 n_shards -= 1
             runner = ShardedFusedRunner(p, ex, dt, n_shards, order=order,
                                         src=src, damp=damp,
-                                        overlap=overlap)
+                                        overlap=overlap,
+                                        fill_mode=fill_mode)
         elif impl == "lane_sharded":
             # production config-5 pipeline through the bench surface; with
             # one local device this is the 1-shard hardware validation of

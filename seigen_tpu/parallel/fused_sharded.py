@@ -66,9 +66,35 @@ class ShardedFusedRunner:
         devices=None,
         stiffness=None,
         overlap: bool = True,
+        fill_mode: str = "auto",
     ):
+        """fill_mode — the halo-fill strategy (round-4 1-shard split):
+
+        - ``auto``: ``off`` at n_shards==1, ``ppermute`` otherwise.
+        - ``off``: build the HALO-FREE single-chip trace layout (h0=0) and
+          never fill — at one shard there is no slab boundary, so the v3
+          sharded runner reduces exactly to the single-chip merged
+          pipeline inside shard_map (n_shards==1 only; closes the
+          round-3 verdict's 29% 1-shard handicap).
+        - ``ppermute``: production multi-chip fill (compact trace-plane
+          collective-permute pair into the reserved halo lanes).
+        - ``local``: the same plane slicing/writing WITHOUT the
+          collective (numerically exact only at 1 shard, where the
+          ppermute is self-to-self) — prices the collective itself.
+        - ``skip``: halo layout reserved but never filled (exact at 1
+          shard: every halo-lane consumer is boundary-masked there) —
+          prices the slice+concat+set data movement of the fill.
+        """
         if order != 4:
             raise ValueError("ShardedFusedRunner is LF4-only")
+        if fill_mode == "auto":
+            fill_mode = "off" if n_shards == 1 else "ppermute"
+        if fill_mode not in ("off", "ppermute", "local", "skip"):
+            raise ValueError(f"unknown fill_mode {fill_mode!r}")
+        if fill_mode != "ppermute" and n_shards > 1:
+            raise ValueError(
+                f"fill_mode={fill_mode!r} is exact only at n_shards==1")
+        self.fill_mode = fill_mode
         self.ex = ex
         self.interpret = interpret
         self.dtype = p.Ginv.dtype
@@ -95,9 +121,10 @@ class ShardedFusedRunner:
         from ..ops.merged_kernels import (
             BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
 
+        halo = fill_mode != "off"
         bx = choose_block(self.NCloc) if block is None else block
         while True:
-            plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=True)
+            plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=halo)
             if plan is None:
                 raise ValueError("mesh does not satisfy the merged-kernel "
                                  "constraints (see build_merged_plan)")
@@ -121,7 +148,7 @@ class ShardedFusedRunner:
 
         bsets = boundary_blocks(plan)
         self._bsets = (
-            bsets if overlap and any(
+            bsets if plan.h0 and overlap and any(
                 plan.NBs - kL - kR > 0 for kL, kR in bsets)
             else None)
 
@@ -411,8 +438,16 @@ class ShardedFusedRunner:
         """Ship boundary-crossing supercell trace planes to the slab
         neighbours' halo lanes (ONE compact ppermute pair; payload
         len(self._halo_g) face-row groups x rtf x m*Grest floats — only
-        the rows the neighbour's cross-boundary windows actually read)."""
+        the rows the neighbour's cross-boundary windows actually read).
+
+        fill_mode 'off'/'skip': identity (see __init__ — exact at 1
+        shard); 'local': the same data movement minus the collective (the
+        1-shard probe pricing the ppermute itself)."""
+        if self.fill_mode in ("off", "skip"):
+            return tr_loc
         plan, Grest, rtf = self.plan, self.Grest, self.plan.rtf
+        perm = (jax.lax.ppermute if self.fill_mode == "ppermute"
+                else lambda x, *_: x)
         rows = tr_loc.shape[0]
         v = tr_loc.reshape(rows, self.m, plan.NCt)
         h0, NCloc = plan.h0, self.NCloc
@@ -423,7 +458,7 @@ class ShardedFusedRunner:
             first = jnp.concatenate(
                 [v[g * rtf : (g + 1) * rtf, :, h0 : h0 + Grest]
                  for g in gr], 0)
-            right = jax.lax.ppermute(first, AXIS, fwd)
+            right = perm(first, AXIS, fwd)
             for k, g in enumerate(gr):
                 v = v.at[g * rtf : (g + 1) * rtf, :,
                          h0 + NCloc : h0 + NCloc + Grest].set(
@@ -432,7 +467,7 @@ class ShardedFusedRunner:
             last = jnp.concatenate(
                 [v[g * rtf : (g + 1) * rtf, :,
                    h0 + NCloc - Grest : h0 + NCloc] for g in gl], 0)
-            left = jax.lax.ppermute(last, AXIS, bwd)
+            left = perm(last, AXIS, bwd)
             for k, g in enumerate(gl):
                 v = v.at[g * rtf : (g + 1) * rtf, :,
                          h0 - Grest : h0].set(

@@ -124,6 +124,43 @@ def test_sharded_fused_overlap_split():
         np.asarray(a.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("fill_mode", ["off", "ppermute", "local", "skip"])
+def test_sharded_fused_one_shard_fill_modes(fill_mode):
+    """At ONE shard every fill_mode is exact (round-4 1-shard split):
+    'off' drops the halo layout entirely (h0=0 — the production 1-shard
+    path, closing the round-3 29% handicap), 'ppermute' is the multi-chip
+    code path (self-to-self), 'local' prices the collective, 'skip' the
+    fill data movement.  All must match the single-chip merged runner."""
+    dm, p, ex, dt, st, src, rcv, damp = _case()
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True)
+    refo, seis_ref = ref.run(st, 3)
+    r = ShardedFusedRunner(p, ex, dt, 1, order=4, src=src, damp=damp,
+                           receivers=rcv, block=8, interpret=True,
+                           fill_mode=fill_mode)
+    assert (r.plan.h0 == 0) == (fill_mode == "off")
+    out, seis = r.run(st, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(seis, seis_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_fused_fill_mode_guards():
+    dm, p, ex, dt, st, src, rcv, damp = _case()
+    r = ShardedFusedRunner(p, ex, dt, 1, order=4, interpret=True, block=8)
+    assert r.fill_mode == "off" and r.plan.h0 == 0 and r._bsets is None
+    r2 = ShardedFusedRunner(p, ex, dt, 2, order=4, interpret=True, block=8)
+    assert r2.fill_mode == "ppermute" and r2.plan.h0 > 0
+    with pytest.raises(ValueError):
+        ShardedFusedRunner(p, ex, dt, 2, order=4, interpret=True,
+                           block=8, fill_mode="off")
+    with pytest.raises(ValueError):
+        ShardedFusedRunner(p, ex, dt, 1, order=4, interpret=True,
+                           block=8, fill_mode="bogus")
+
+
 def test_sharded_fused_resume_equivalence():
     """step0-based resume: 2+2 steps == 4 steps.  Tolerance, not bitwise:
     the resumed run re-seeds the carried traction traces from the stress
