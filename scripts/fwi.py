@@ -45,6 +45,26 @@ def main():
                          "full-band stage is appended automatically)")
     ap.add_argument("--smooth", type=int, default=2,
                     help="gradient-smoother Jacobi iterations (0 = off)")
+    ap.add_argument("--areal", action="store_true",
+                    help="3D: shots on a sqrt(S) x sqrt(S) areal grid "
+                         "and receivers on a sqrt(R) x sqrt(R) areal "
+                         "patch (instead of the round-3 y=0.5 LINES — "
+                         "line acquisition cannot resolve a 3D target "
+                         "in y)")
+    ap.add_argument("--vsp", type=int, default=0,
+                    help="3D: add 4 vertical receiver strings of this "
+                         "many receivers at the corners of the "
+                         "acquisition patch — transmission through the "
+                         "target constrains INTERIOR velocity, which "
+                         "surface reflections alone do not")
+    ap.add_argument("--precond", choices=["none", "illum"],
+                    default="none",
+                    help="gradient preconditioner: 'illum' = "
+                         "1/(I + 0.01 Imax) from the scan-accumulated "
+                         "source-side illumination (pseudo-Hessian "
+                         "proxy).  Adam is per-coordinate scale-"
+                         "invariant, so this is mainly the "
+                         "--optimizer gd depth-compensation lever")
     ap.add_argument("--salt", action="store_true",
                     help="3D: layered background + salt body as the true "
                          "model; invert vp from the salt-free background")
@@ -126,7 +146,7 @@ def main():
         detect_structured, make_structured_ops)
     from seigen_tpu.solver import (
         PointSource, State, absorbing_bc_fn, build_receivers, build_sources,
-        cfl_dt, line, sponge_mask,
+        cfl_dt, grid, line, sponge_mask,
     )
     from seigen_tpu.solver.adjoint import with_material
     from seigen_tpu.solver.fwi import invert
@@ -194,13 +214,35 @@ def main():
                 dtype=dtype)
             for x in np.linspace(*shot_line, args.shots)])
     else:
+        if args.areal:
+            g = max(1, int(round(np.sqrt(args.shots))))
+            shot_pos = grid(shot_line, shot_line, g, g, src_depth)
+            args.shots = g * g
+        else:
+            shot_pos = [(float(x), 0.5, src_depth)
+                        for x in np.linspace(*shot_line, args.shots)]
         shots = stack_shots([
             build_sources(dm, [PointSource(
-                position=(float(x), 0.5, src_depth), f0=f0,
-                radius=2 * h)], dtype=dtype)
-            for x in np.linspace(*shot_line, args.shots)])
-    rcv = build_receivers(
-        dm, line(*rcv_line, args.receivers), dtype=dtype)
+                position=tuple(map(float, pos)), f0=f0, radius=2 * h)],
+                dtype=dtype)
+            for pos in shot_pos])
+    if args.dim == 3 and (args.areal or args.vsp):
+        pts = []
+        if args.areal:
+            gr = max(2, int(round(np.sqrt(args.receivers))))
+            pts.append(grid((0.1, 0.9), (0.1, 0.9), gr, gr, rcv_depth))
+        else:
+            pts.append(line(*rcv_line, args.receivers))
+        if args.vsp:
+            # corner strings kept outside the 0.15 sponges and just off
+            # the salt flank (salt x,y extent ~[0.28, 0.72])
+            for x, y in ((0.25, 0.25), (0.25, 0.75),
+                         (0.75, 0.25), (0.75, 0.75)):
+                pts.append(line((x, y, 0.2), (x, y, 0.8), args.vsp))
+        rcv_pts = np.concatenate([np.asarray(p, float) for p in pts])
+    else:
+        rcv_pts = line(*rcv_line, args.receivers)
+    rcv = build_receivers(dm, rcv_pts, dtype=dtype)
     damp = jnp.asarray(sponge_mask(dm, sponge, width=0.15), dtype)
     dt = cfl_dt(h, vmax, args.degree, 0.4)
     n_steps = int(np.ceil(args.T / dt))
@@ -414,6 +456,19 @@ def main():
               f"wavelet rel-err {wav_report['wav_err_init']:.3f} -> "
               f"{wav_report['wav_err_final']:.3f}", flush=True)
 
+    precond = None
+    if args.precond == "illum":
+        if ldf is None or not hasattr(ldf, "illumination"):
+            raise SystemExit("--precond illum needs --grad-path "
+                             "lane/merged/lane_u (single-chip engines)")
+        t_il = time.perf_counter()
+        illum = ldf.illumination()  # in the starting model p0
+        precond = 1.0 / (illum + 0.01 * illum.max())
+        precond = precond / precond.mean()
+        print(f"illumination precond: {time.perf_counter() - t_il:.1f} s "
+              f"(I range {illum.min():.3e}..{illum.max():.3e})",
+              flush=True)
+
     bands = None
     if args.bands:
         bands = tuple(float(b) for b in args.bands.split(",")) + (None,)
@@ -440,7 +495,7 @@ def main():
         iters=args.iters, bands=bands, smooth_iters=args.smooth,
         bounds={"vp": (lo, hi)}, damp=damp, segment=args.segment,
         vel_op=vel_op, stress_op=stress_op, batch=args.batch,
-        vg_factory=vg_factory,
+        vg_factory=vg_factory, precond=precond,
         checkpoint_path=args.inv_checkpoint, resume=args.inv_resume,
         log=lambda s: print(s, flush=True))
 

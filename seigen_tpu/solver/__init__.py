@@ -2,7 +2,7 @@ from .analytic import (ExplosionGreens3D, ForceGreens3D,
                        MomentGreens3D, PlaneWave)
 from .damping import absorbing_bc_fn, sponge_mask
 from .errors import convergence_order, interpolate, l2_error, l2_norm
-from .receivers import ReceiverData, build_receivers, line, sample
+from .receivers import ReceiverData, build_receivers, grid, line, sample
 from .source import (PointSource, SourceData, build_sources,
                      kinematic_rupture, ricker)
 from .pml import (CpmlState, cpml_init, cpml_profiles, make_cpml_rhs,
@@ -23,6 +23,7 @@ __all__ = [
     "l2_norm",
     "ReceiverData",
     "build_receivers",
+    "grid",
     "line",
     "sample",
     "PointSource",

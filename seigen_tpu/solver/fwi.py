@@ -133,6 +133,7 @@ def invert(
     batch: str = "vmap",
     theta0: dict | None = None,
     vg_factory=None,
+    precond=None,
     log=None,
     checkpoint_path: str | None = None,
     resume: bool = False,
@@ -156,10 +157,22 @@ def invert(
     host's tunnel exhibits (BENCH_NOTES round 3).  adam/gd only (L-BFGS
     carries linesearch closures in its state).
 
+    ``precond``: optional per-element (E,) positive weights multiplied
+    into every gradient field BEFORE smoothing (illumination /
+    pseudo-Hessian compensation, e.g. 1/(I + eps) from
+    LaneDiffFwi.illumination).  NOTE measured/derived scope: Adam is
+    per-coordinate scale-invariant, so a static diagonal precond only
+    reaches Adam through the smoother's neighbor mixing — it is the
+    'gd' (max-normalized descent) path where this is the standard
+    depth-compensation lever.
+
     Returns FwiResult with the final theta, per-iteration misfits, and
     wall-clock.
     """
     import optax
+
+    if precond is not None:
+        precond = jnp.asarray(precond, dtype=p0.Ginv.dtype)
 
     if bands is None:
         bands = (None,)
@@ -341,9 +354,11 @@ def invert(
 
             @jax.jit
             def apply_update(grad, opt_state, theta):
-                # smoothing + (gd normalization) + optax + projection in
-                # ONE device execution: on the tunnelled TPU each small
-                # op costs ~1 s dispatch (BENCH_NOTES)
+                # precond + smoothing + (gd normalization) + optax +
+                # projection in ONE device execution: on the tunnelled
+                # TPU each small op costs ~1 s dispatch (BENCH_NOTES)
+                if precond is not None:
+                    grad = {k: v * precond for k, v in grad.items()}
                 if smoothp is not None:
                     grad = {k: smoothp(v) for k, v in grad.items()}
                 if optimizer == "gd":

@@ -566,6 +566,46 @@ class LaneDiffFwi:
         res = seis - obs
         return 0.5 * jnp.sum(res * res)
 
+    def illumination(self, theta: dict | None = None):
+        """Source-side illumination I_e = sum over shots, steps, nodes,
+        components of u^2 — the standard diagonal pseudo-Hessian proxy,
+        accumulated INSIDE the forward lane scan (one extra per-lane VPU
+        reduction per step; no wavefield storage).  Computed in the
+        smooth model ``theta`` (default: p0's material).  Returns (E,)
+        float64 in original element order; use e.g.
+        ``precond = 1/(I + 0.01*I.max())`` with solver.fwi.invert.
+        """
+        r = self.runner
+        d = r.d
+        aux = self._aux()
+        if not hasattr(self, "_illum_one"):
+            def illum_one(th, df, dd, ww, aux_, sk):
+                mrows = self._mrows(th, df)
+                step = self._make_step(dd, ww, aux_, mrows, sk)
+                u0 = jnp.zeros((d.dim * d.npp, self._L), self.dtype)
+                s0 = jnp.zeros((d.n_sig * d.npp, self._L), self.dtype)
+                acc0 = jnp.zeros((self._L,), self.dtype)
+
+                def body(carry, k):
+                    u, s, acc = carry
+                    u, s = step(u, s, k.astype(self.dtype) * self.dt)
+                    return (u, s, acc + jnp.sum(u * u, axis=0)), None
+
+                (_, _, acc), _ = jax.lax.scan(
+                    body, (u0, s0, acc0), jnp.arange(self.n_steps))
+                return acc
+
+            self._illum_one = jax.jit(illum_one)
+        tot = np.zeros(self._L, np.float64)
+        th = {} if theta is None else theta
+        for k in range(self.n_shots):
+            sk = jax.tree.map(lambda x, k=k: x[k], self.src)
+            tot += np.asarray(self._illum_one(
+                th, self._theta0, r.d, self.w, aux, sk), np.float64)
+        out = np.zeros(self.E, np.float64)
+        out[np.asarray(self._perm)] = tot[np.asarray(self._lanes)]
+        return out
+
     def synth(self, theta: dict):
         """Forward-model all shots at ``theta`` -> (S, n_steps, R, dim).
 

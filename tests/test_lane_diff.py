@@ -586,3 +586,67 @@ def test_unstructured_gradient_matches_einsum_ad():
     lhs = jnp.vdot(ubar, out)
     rhs = jnp.vdot(vjp(ubar)[0], sig)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-11)
+
+
+@pytest.mark.parametrize("engine", ["lane", "merged"])
+def test_illumination_matches_einsum_scan(engine):
+    """LaneDiffFwi.illumination (per-lane energy accumulated INSIDE the
+    lane scan) == a plain einsum-step scan accumulating sum_t sum_nodes
+    u^2 per element — the pseudo-Hessian proxy is exact, not a model."""
+    from seigen_tpu.solver.timestep import make_step
+
+    dm, p0, ex = _setup_2d(het=True, seed=4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    dt = cfl_dt(float(dm.h.min()), 3.0, 2, 0.3)
+    n_steps = 10
+    src, rcv = _point_src(dm), _rcv(dm)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+        jnp.float64)
+
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, damp=damp, block=8, interpret=True,
+                      engine=engine)
+    illum = ldf.illumination()
+
+    step = make_step(p0, dt, order=4, src=src, damp=damp)
+    st = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+               s=jnp.zeros((E, n_p, 3), jnp.float64))
+    acc = np.zeros(E)
+    for k in range(n_steps):
+        st = step(st, k * dt)
+        acc += np.sum(np.asarray(st.u) ** 2, axis=(1, 2))
+    assert acc.max() > 0
+    np.testing.assert_allclose(illum, acc, rtol=1e-9,
+                               atol=1e-12 * acc.max())
+
+
+def test_invert_precond_changes_gd_not_adam_direction():
+    """invert(precond=w): the weights reach the 'gd' update (depth
+    compensation) and the plumbing is a no-op for w == 1."""
+    from seigen_tpu.solver.fwi import invert
+
+    dm, p0, ex = _setup_2d(het=False, seed=5)
+    E, n_p = dm.num_elements, dm.re.n_p
+    dt = cfl_dt(float(dm.h.min()), 2.5, 2, 0.3)
+    n_steps = 8
+    src, rcv = _point_src(dm), _rcv(dm)
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, block=8, interpret=True)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.06)})
+    st0 = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+                s=jnp.zeros((E, n_p, 3), jnp.float64))
+    kw = dict(fields=("vp",), optimizer="gd", lr=0.05, iters=1,
+              smooth_iters=0, vg_factory=ldf.vg_factory)
+    base = invert(p0, st0, dt, n_steps, stack_shots([src]), rcv,
+                  ldf.observed, **kw)
+    ones = invert(p0, st0, dt, n_steps, stack_shots([src]), rcv,
+                  ldf.observed, precond=np.ones(E), **kw)
+    np.testing.assert_allclose(np.asarray(ones.theta["vp"]),
+                               np.asarray(base.theta["vp"]), rtol=1e-12)
+    w = 1.0 + np.linspace(0.0, 3.0, E)  # strongly uneven weights
+    wrun = invert(p0, st0, dt, n_steps, stack_shots([src]), rcv,
+                  ldf.observed, precond=w, **kw)
+    assert not np.allclose(np.asarray(wrun.theta["vp"]),
+                           np.asarray(base.theta["vp"]))
