@@ -26,9 +26,24 @@ wait_tpu || { echo "TPU never came up (fwigrad)" >> "$LOG"; exit 1; }
 [ -f results/r4_fwi_grad_small.json ] || { wait_tpu; \
   run_retry fwi_grad_small 3600 python -m seigen_tpu.bench.fwi_grad \
       16 1 100 2 --out results/r4_fwi_grad_small.json; }
+# BISECT (first full-size attempt crashed the TPU worker twice at
+# 15:16/15:19, exactly like round 3 — and the small configs passed, so
+# the fault is size-correlated).  The crash happened on the FIRST
+# vg() of the FIRST path = "roll" (XLA AD through the einsum step);
+# the lane/merged custom-VJP paths never executed at n=24 — and the
+# round-3 salt inversions prove they run 36+ min at this E.  Split the
+# engines: production paths first (expect pass), then the roll oracle
+# alone (expect crash -> disposition: the XLA-AD roll program faults
+# the axon TPU service at E=83k, not our Pallas kernels).
 [ -f results/r4_fwi_grad.json ] || { wait_tpu; \
   run_retry fwi_grad_full 5400 python -m seigen_tpu.bench.fwi_grad \
-      24 1 200 2 --out results/r4_fwi_grad.json; }
+      24 1 200 2 --paths lane,merged --out results/r4_fwi_grad.json; }
+[ -f results/r4_fwi_grad_roll24.json ] || { wait_tpu; \
+  run fwi_grad_roll24 5400 python -m seigen_tpu.bench.fwi_grad \
+      24 1 200 2 --paths roll --out results/r4_fwi_grad_roll24.json; \
+  [ -f results/r4_fwi_grad_roll24.json ] || \
+    echo '{"crashed": true, "note": "XLA-AD roll engine at E=82944 P1 crashes the TPU worker (reproduced 3x: r3_batch.log:578, r4_batch.log fwi_grad_full + retry); lane/merged custom-VJP paths pass at the same size (r4_fwi_grad.json) and ran 36-48 min salt inversions in r3 - fault is in the XLA-generated adjoint program or the axon service, not the Pallas kernels"}' \
+      > results/r4_fwi_grad_roll24.json; }
 # P3 rung: gradient rate at a production degree (the forward flagship is
 # P3; the salt demo moves to P2/P3 this round)
 [ -f results/r4_fwi_grad_p3.json ] || { wait_tpu; \

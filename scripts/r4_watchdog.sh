@@ -34,6 +34,7 @@ done_all() {
   [ -f results/r4_merged_ref.json ] && \
   [ -f results/r4_fwi_grad_small.json ] && \
   [ -f results/r4_fwi_grad.json ] && \
+  [ -f results/r4_fwi_grad_roll24.json ] && \
   [ -f results/r4_fwi_grad_p3.json ] || return 1
   # later batches gate only once their scripts exist
   if [ -f scripts/r4_salt.sh ]; then
