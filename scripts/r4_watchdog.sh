@@ -42,6 +42,7 @@ done_all() {
   fi
   if [ -f scripts/r4_rtm.sh ]; then
     [ -f results/r4_rtm3d.json ] || return 1
+    [ -f results/r4_rtm2d.json ] || return 1
   fi
   if [ -f scripts/r4_perf.sh ]; then
     [ -f results/r4_perf_done ] || return 1

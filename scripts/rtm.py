@@ -57,6 +57,14 @@ def main():
                          "textbook RTM setting.  'vp' adds the smooth "
                          "transmission (banana) kernel to the image; "
                          "crank --filter-iters to suppress it")
+    ap.add_argument("--areal", action="store_true",
+                    help="3D: shots on a sqrt(S) x sqrt(S) grid and "
+                         "receivers on an areal patch.  LINE acquisition "
+                         "cannot image a 3D volume: the round-3 artifact "
+                         "put 79%% of windowed image energy off the "
+                         "acquisition plane as shallow low-wavenumber "
+                         "smear, pulling z_imaged 0.23 shallow "
+                         "(diagnosis in BENCH_NOTES round 4)")
     ap.add_argument("--free-top", action="store_true",
                     help="free surface on top (default absorbing: the "
                          "ghost-free idealization — a free top adds "
@@ -72,6 +80,15 @@ def main():
                     help="checkpoint-segment length for the adjoint")
     ap.add_argument("--filter-iters", type=int, default=1,
                     help="graph-Laplacian high-pass applications")
+    ap.add_argument("--illum-comp", choices=["source", "none"],
+                    default="source",
+                    help="divide the image by the source-side "
+                         "illumination (one forward per shot in the "
+                         "background).  In 3D the forward-field energy "
+                         "decays r^-2 (vs r^-1 in 2D), so an "
+                         "uncompensated image is shallow-weighted — "
+                         "this is the round-4 fix for the round-3 "
+                         "z_imaged bias")
     ap.add_argument("--mute-radius", type=float, default=0.18,
                     help="acquisition mute radius around sources/receivers")
     ap.add_argument("--out", type=str, default=None,
@@ -96,7 +113,7 @@ def main():
     from seigen_tpu.ops import Material, build_params
     from seigen_tpu.solver import (
         PointSource, State, absorbing_bc_fn, build_receivers, build_sources,
-        cfl_dt, line, sponge_mask,
+        cfl_dt, grid, line, sponge_mask,
     )
     from seigen_tpu.solver.imaging import (
         acquisition_mute, laplacian_filter, normalize, rtm_image,
@@ -159,11 +176,21 @@ def main():
         return (float(x), src_depth) if dim == 2 else (
             float(x), 0.5, src_depth)
 
+    if dim == 3 and args.areal:
+        g = max(1, int(round(np.sqrt(args.shots))))
+        shot_pos = [tuple(map(float, p))
+                    for p in grid(shot_line, shot_line, g, g, src_depth)]
+        args.shots = g * g
+        gr = max(2, int(round(np.sqrt(args.receivers))))
+        rcv_pts = grid((0.1, 0.9), (0.1, 0.9), gr, gr, rcv_depth)
+        args.receivers = gr * gr
+    else:
+        shot_pos = [pos(x) for x in np.linspace(*shot_line, args.shots)]
+        rcv_pts = line(*rcv_line, args.receivers)
     shots = stack_shots([
-        build_sources(dm, [PointSource(position=pos(x), f0=f0,
+        build_sources(dm, [PointSource(position=p, f0=f0,
                                        radius=1.5 * h)], dtype=dtype)
-        for x in np.linspace(*shot_line, args.shots)])
-    rcv_pts = line(*rcv_line, args.receivers)
+        for p in shot_pos])
     rcv = build_receivers(dm, rcv_pts, dtype=dtype)
     damp = jnp.asarray(sponge_mask(dm, sponge, width=sp_w), dtype)
     st0 = State(u=jnp.zeros((E, n_p, dim), dtype),
@@ -221,11 +248,18 @@ def main():
 
     misfit, raw = rtm_image(vg, theta_bg, field=field)
 
+    if args.illum_comp == "source":
+        from seigen_tpu.solver.imaging import source_illumination
+        if args.grad_path == "einsum":
+            illum = source_illumination(
+                p0, st0, dt, n_steps, shots, damp=damp)
+        else:
+            illum = ldf.illumination()  # same quantity on the lane scan
+        raw = raw / (illum + 0.01 * illum.max())
+
     # post-processing: mute acquisition imprint, remove the smooth
     # backscatter, normalize for stacking/plotting
-    acq = np.concatenate([
-        np.array([pos(x) for x in np.linspace(*shot_line, args.shots)]),
-        np.asarray(rcv_pts)])
+    acq = np.concatenate([np.asarray(shot_pos), np.asarray(rcv_pts)])
     mute = acquisition_mute(cent, acq, args.mute_radius)
     img = normalize(raw * mute)
     filt = normalize(
@@ -251,6 +285,8 @@ def main():
     summary = {
         "mode": "rtm", "dim": dim, "E": E, "n_steps": n_steps,
         "shots": args.shots, "grad_path": args.grad_path,
+        "f0": f0, "vmax": vmax, "h": h, "areal": bool(args.areal),
+        "illum_comp": args.illum_comp,
         "misfit": misfit, "z_reflector": zr, "z_imaged": z_hat,
         "z_error": abs(z_hat - zr), "z_rms_spread": z_rms,
         "focus_band": band, "focus": focus,

@@ -76,6 +76,50 @@ def normalize(g):
     return g / m if m > 0 else g
 
 
+def source_illumination(p, state0, dt, n_steps, shots, damp=None,
+                        segment=None):
+    """(E,) source-side illumination sum over shots, steps, nodes,
+    components of u^2, via a jitted einsum-step scan (one forward per
+    shot in the background model).
+
+    RTM deconvolution weight: in 3D the forward-field ENERGY decays like
+    r^-2 (vs r^-1 in 2D), so a raw cross-correlation image is strongly
+    shallow-weighted — compensation ``image / (I + eps I_max)`` is what
+    makes 3D depths readable (measured: the round-4 fix for the round-3
+    z_imaged bias, BENCH_NOTES).  The fast-path twin is
+    ``LaneDiffFwi.illumination`` (same quantity inside the lane scan;
+    equivalence tested in tests/test_lane_diff.py).
+    """
+    import jax
+    import jax.lax as lax
+
+    from .timestep import make_step
+
+    elems = np.asarray(shots.elems)
+    n_shots = 1 if elems.ndim == 1 else elems.shape[0]
+    if elems.ndim == 1:
+        shots = jax.tree.map(lambda x: jnp.asarray(x)[None], shots)
+
+    @jax.jit
+    def illum_one(src_k):
+        step = make_step(p, dt, order=4, src=src_k, damp=damp)
+
+        def body(carry, k):
+            st, acc = carry
+            st = step(st, k * jnp.asarray(dt, acc.dtype))
+            return (st, acc + jnp.sum(st.u * st.u, axis=(1, 2))), None
+
+        acc0 = jnp.zeros((state0.u.shape[0],), state0.u.dtype)
+        (_, acc), _ = lax.scan(body, (state0, acc0), jnp.arange(n_steps))
+        return acc
+
+    tot = np.zeros(state0.u.shape[0], np.float64)
+    for k in range(n_shots):
+        src_k = jax.tree.map(lambda x, k=k: x[k], shots)
+        tot += np.asarray(illum_one(src_k), np.float64)
+    return tot
+
+
 def rtm_image(vg, theta_bg: dict, field: str = "vp"):
     """Evaluate an FWI value-and-gradient engine as a migration.
 

@@ -620,6 +620,16 @@ def test_illumination_matches_einsum_scan(engine):
     np.testing.assert_allclose(illum, acc, rtol=1e-9,
                                atol=1e-12 * acc.max())
 
+    # the einsum-path twin used by scripts/rtm.py --grad-path einsum
+    from seigen_tpu.solver.imaging import source_illumination
+
+    st0 = State(u=jnp.zeros((E, n_p, 2), jnp.float64),
+                s=jnp.zeros((E, n_p, 3), jnp.float64))
+    tw = source_illumination(p0, st0, dt, n_steps, stack_shots([src]),
+                             damp=damp)
+    np.testing.assert_allclose(tw, acc, rtol=1e-9,
+                               atol=1e-12 * acc.max())
+
 
 def test_invert_precond_changes_gd_not_adam_direction():
     """invert(precond=w): the weights reach the 'gd' update (depth
