@@ -58,9 +58,9 @@ def _rup(x, m=8):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["drr", "lift", "erep", "geo", "damp"],
+    data_fields=["drr", "lift", "erep", "geo", "damp", "gexp"],
     meta_fields=["dim", "n_p", "npp", "ftp", "ftpp", "n_sig", "E", "nf",
-                 "n_fp", "off"],
+                 "n_fp", "off", "n_par"],
 )
 @dataclass(frozen=True)
 class FusedOpData:
@@ -78,6 +78,20 @@ class FusedOpData:
 
     ``off`` = (ginv, nrm, scb, bfs, dfs, mat, C, total); C = -1 for
     isotropic media (the kernels then apply the lambda/mu Hooke law).
+
+    ``n_par`` = 2: PACKED layout (build_packed_fused_data) — two
+    elements per lane, parity par on sublane rows par*4+i (requires
+    n_p <= 4 and nf <= 4, i.e. P1); face-trace rows par*ftq + f*n_fp + k
+    with ftq = nf*n_fp per parity (ftp = 2*ftq, ftpp = roundup); geo face
+    sections hold rows par*4+f; ginv is stored COMPACT (row 2*(r*dim+d)
+    + par) and the mat section holds rows 2*{irho,lam,mu} + par.  The
+    per-lane scalar broadcasts of the unpacked kernels become per-ROW
+    operands, produced in-kernel by ONE one-hot ``gexp`` MXU expansion:
+    gm = gexp @ [ginv_compact; mat_compact] with row map
+    [ginv:(dim*dim*npp)][irho:npp][lam:npp][mu:npp][lam_f:ftpp]
+    [mu_f:ftpp].  P1's n_p<=4 pads to npp=8, so HALF of every unpacked
+    tile is dead weight; packing reclaims it (measured 1.62x at op
+    level, bench/p1_pack_probe.py, BENCH_NOTES round 3).
     """
 
     drr: jax.Array  # (dim*npp + ftpp, npp): [Dr stack; own-face restriction]
@@ -95,6 +109,8 @@ class FusedOpData:
     nf: int
     n_fp: int
     off: tuple  # (ginv, nrm, scb, bfs, dfs, mat, total)
+    n_par: int = 1
+    gexp: jax.Array | None = None  # packed: one-hot geo/mat row expansion
 
 
 _FUSED_CACHE: dict[int, tuple] = {}
@@ -194,6 +210,125 @@ def build_fused_data(p: ElasticParams, damp=None,
     return data
 
 
+def build_packed_fused_data(p: ElasticParams, pair0, pair1,
+                            damp=None) -> FusedOpData:
+    """Two-elements-per-lane P1 operator data (``n_par=2`` layout above).
+
+    pair0/pair1: (B,) element indices (into p's order) packed onto
+    parities 0/1 of lane column j — the caller owns the pairing (the
+    merged runner pairs classes (2u, 2u+1) of the same supercell so the
+    exchange-window lane math is untouched).  Isotropic only; requires
+    n_p <= 4 and nf <= 4 (P1 simplices, the degree whose npp=8 padding
+    wastes half of every unpacked tile).
+    """
+    dim, n_p = p.dim, p.n_p
+    nf, n_fp = p.n_faces, p.n_fp
+    if n_p > 4 or nf > 4:
+        raise ValueError("packed layout requires P1 (n_p<=4, nf<=4)")
+    npp = 8
+    ftq = nf * n_fp  # per-parity face-trace rows
+    ftp = 2 * ftq
+    ftpp = _rup(ftp)
+    B = len(pair0)
+    assert len(pair1) == B
+    dt = p.Ginv.dtype
+    pairs = (np.asarray(pair0), np.asarray(pair1))
+
+    Dr = np.zeros((dim * npp, npp), dtype=np.float64)
+    LIFT = np.zeros((npp, ftpp), dtype=np.float64)
+    R = np.zeros((ftpp, npp), dtype=np.float64)
+    erep = np.zeros((ftpp, 8), dtype=np.float64)
+    fn = np.array(p.fnodes).reshape(-1)
+    for par in range(2):
+        for r in range(dim):
+            Dr[r * npp + par * 4 : r * npp + par * 4 + n_p,
+               par * 4 : par * 4 + n_p] = np.asarray(p.Dr[r])
+        LIFT[par * 4 : par * 4 + n_p,
+             par * ftq : par * ftq + ftq] = np.asarray(p.LIFT)
+        R[par * ftq + np.arange(ftq), par * 4 + fn] = 1.0
+        for f in range(nf):
+            erep[par * ftq + f * n_fp : par * ftq + (f + 1) * n_fp,
+                 par * 4 + f] = 1.0
+
+    # geo: compact ginv pair rows + per-(par, face) sections + compact mat
+    gci = _rup(2 * dim * dim)
+    o_ginv = 0
+    o_nrm = gci
+    o_scb = o_nrm + 8 * dim
+    o_bfs = o_scb + 8
+    o_dfs = o_bfs + 8
+    o_mat = o_dfs + 8
+    total = o_mat + 8
+    geo = np.zeros((total, B), dtype=np.float64)
+    Ginv = np.asarray(p.Ginv)
+    fsc = np.asarray(p.Fscale)
+    nrm = np.asarray(p.normals)
+    beta = np.broadcast_to(np.asarray(p.beta_t), fsc.shape)
+    delta = np.broadcast_to(np.asarray(p.delta_u), fsc.shape)
+    for par, pe in enumerate(pairs):
+        for r in range(dim):
+            for d in range(dim):
+                geo[o_ginv + 2 * (r * dim + d) + par] = Ginv[pe, r, d]
+        for d in range(dim):
+            geo[o_nrm + 8 * d + par * 4 : o_nrm + 8 * d + par * 4 + nf] = (
+                nrm[pe][:, :, d].T)
+        geo[o_scb + par * 4 : o_scb + par * 4 + nf] = 0.5 * fsc[pe].T
+        geo[o_bfs + par * 4 : o_bfs + par * 4 + nf] = (
+            (beta * fsc)[pe].T)
+        geo[o_dfs + par * 4 : o_dfs + par * 4 + nf] = (
+            (delta * fsc)[pe].T)
+        geo[o_mat + 0 + par] = np.asarray(p.inv_rho)[pe]
+        geo[o_mat + 2 + par] = np.asarray(p.lam)[pe]
+        geo[o_mat + 4 + par] = np.asarray(p.mu)[pe]
+
+    # one-hot expansion: gm = gexp @ [geo[ginv:+gci]; geo[mat:+8]]
+    # row map: [ginv rd-major npp rows][irho npp][lam npp][mu npp]
+    #          [lam_f ftpp][mu_f ftpp]
+    G = dim * dim * npp
+    gexp = np.zeros((G + 3 * npp + 2 * ftpp, gci + 8), dtype=np.float64)
+    for rd in range(dim * dim):
+        for par in range(2):
+            gexp[rd * npp + par * 4 : rd * npp + par * 4 + 4,
+                 2 * rd + par] = 1.0
+    for j in range(3):  # irho, lam, mu volume rows
+        for par in range(2):
+            gexp[G + j * npp + par * 4 : G + j * npp + par * 4 + 4,
+                 gci + 2 * j + par] = 1.0
+    for j in range(2):  # lam_f, mu_f face-node rows
+        for par in range(2):
+            gexp[G + 3 * npp + j * ftpp + par * ftq
+                 : G + 3 * npp + j * ftpp + par * ftq + ftq,
+                 gci + 2 * (j + 1) + par] = 1.0
+
+    dmp = None
+    if damp is not None:
+        dn = np.zeros((npp, B), dtype=np.float64)
+        da = np.asarray(damp)
+        for par, pe in enumerate(pairs):
+            dn[par * 4 : par * 4 + n_p] = da[pe].T
+        dmp = jnp.asarray(dn, dt)
+
+    return FusedOpData(
+        drr=jnp.asarray(np.concatenate([Dr, R], axis=0), dt),
+        lift=jnp.asarray(LIFT, dt),
+        erep=jnp.asarray(erep, dt),
+        geo=jnp.asarray(geo, dt),
+        damp=dmp,
+        dim=dim,
+        n_p=n_p,
+        npp=npp,
+        ftp=ftp,
+        ftpp=ftpp,
+        n_sig=p.n_sig,
+        E=2 * B,
+        nf=nf,
+        n_fp=n_fp,
+        off=(o_ginv, o_nrm, o_scb, o_bfs, o_dfs, o_mat, -1, total),
+        n_par=2,
+        gexp=jnp.asarray(gexp, dt),
+    )
+
+
 # In-kernel matmul precision scheme.  The package-wide policy is 'highest'
 # (full f32, ~6 bf16 MXU passes — BENCH_NOTES.md precision policy), but
 # Mosaic has no 'high' tier, and the A/B harness shows the extra passes
@@ -284,9 +419,31 @@ def _wide_dot_split(mat, cols, onehot=False):
     return [out[:, i * B : (i + 1) * B] for i in range(len(cols))]
 
 
+def _geo_rows(dim, npp, ftpp, off, geo_ref, gexp_ref):
+    """Packed-layout per-row geometry/material operands: ONE one-hot MXU
+    expansion of the compact ginv + mat geo sections (see FusedOpData
+    n_par=2).  Returns (g(r,d) lookup, irho, lam_v, mu_v, lam_f, mu_f)."""
+    o_ginv, o_mat = off[0], off[5]
+    gci = _rup(2 * dim * dim)
+    gin = jnp.concatenate(
+        [geo_ref[o_ginv : o_ginv + gci, :], geo_ref[o_mat : o_mat + 8, :]],
+        axis=0)
+    gm = _dot(gexp_ref[:], gin, onehot=True)
+    G = dim * dim * npp
+
+    def g(r, d):
+        rd = r * dim + d
+        return gm[rd * npp : (rd + 1) * npp, :]
+
+    return (g, gm[G : G + npp, :], gm[G + npp : G + 2 * npp, :],
+            gm[G + 2 * npp : G + 3 * npp, :],
+            gm[G + 3 * npp : G + 3 * npp + ftpp, :],
+            gm[G + 3 * npp + ftpp : G + 3 * npp + 2 * ftpp, :])
+
+
 def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                sig_ref, axpy_refs, geo_ref, drr_ref, lift_ref, erep_ref,
-               out_ref, trout_ref, emit_tr=None, inj=None):
+               out_ref, trout_ref, emit_tr=None, inj=None, gexp_ref=None):
     """Fused velocity operator — THE physics, shared by the standalone
     kernel (tr from the exchange output ref) and the merged
     exchange-in-kernel variant (ops/merged_kernels.py).
@@ -310,7 +467,11 @@ def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
         erep_ref[:], geo_ref,
         [o_nrm + 8 * d for d in range(dim)] + [o_scb, o_bfs])
     nrm, scb, bfs = exp[:dim], exp[dim], exp[dim + 1]
-    irho = geo_ref[o_mat : o_mat + 1, :]
+    if gexp_ref is not None:  # packed: per-row operands (FusedOpData n_par=2)
+        g_of, irho = _geo_rows(dim, npp, ftpp, off, geo_ref, gexp_ref)[:2]
+    else:
+        irho = geo_ref[o_mat : o_mat + 1, :]
+        g_of = None
     rmat = drr_ref[dim * npp :, :]
 
     fluxes = []
@@ -327,8 +488,9 @@ def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
         div = None
         for d in range(dim):
             for r in range(dim):
-                g = geo_ref[o_ginv + r * dim + d : o_ginv + r * dim + d + 1,
-                            :]
+                g = (g_of(r, d) if g_of is not None else
+                     geo_ref[o_ginv + r * dim + d
+                             : o_ginv + r * dim + d + 1, :])
                 term = g * der[r][V[cout, d]]
                 div = term if div is None else div + term
         du = irho * (div + surfs[cout])
@@ -355,10 +517,15 @@ def _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
             trout_ref[cout * ftpp : (cout + 1) * ftpp, :] = traces[cout]
 
 
-def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
+def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3, packed,
                  *refs):
     """Standalone fused velocity kernel: traces come pre-exchanged in
     tr_ref (see _vel2_body for the physics)."""
+    if packed:  # gexp is the last INPUT, before the two output refs
+        gexp_ref = refs[-3]
+        refs = refs[:-3] + refs[-2:]
+    else:
+        gexp_ref = None
     if axpy:
         (sig_ref, tr_ref, u_ref, uh1_ref, geo_ref, drr_ref, lift_ref,
          erep_ref, out_ref, trout_ref) = refs
@@ -373,12 +540,13 @@ def _vel2_kernel(dim, n_sig, npp, ftpp, off, axpy, dt, c3,
 
     _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                sig_ref, axpy_refs, geo_ref, drr_ref, lift_ref, erep_ref,
-               out_ref, trout_ref)
+               out_ref, trout_ref, gexp_ref=gexp_ref)
 
 
 def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                   get_tr, u_ref, axpy_refs, geo_ref, drr_ref, lift_ref,
-                  erep_ref, out_ref, trout_ref, emit_tr=None, inj=None):
+                  erep_ref, out_ref, trout_ref, emit_tr=None, inj=None,
+                  gexp_ref=None):
     """Fused stress operator — THE physics (see _vel2_body).
 
     ds = Hooke(grad u) + LIFT(Hooke_face(scb*tr_u + dfs*u_own)); emits
@@ -401,14 +569,21 @@ def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
         erep_ref[:], geo_ref,
         [o_nrm + 8 * d for d in range(dim)] + [o_scb, o_dfs])
     nrm, scb, dfs = exp[:dim], exp[dim], exp[dim + 1]
-    lam = geo_ref[o_mat + 1 : o_mat + 2, :]
-    mu = geo_ref[o_mat + 2 : o_mat + 3, :]
+    if gexp_ref is not None:  # packed: per-row operands (FusedOpData n_par=2)
+        g_of, _, lam, mu, lam_f, mu_f = _geo_rows(
+            dim, npp, ftpp, off, geo_ref, gexp_ref)
+    else:
+        lam = lam_f = geo_ref[o_mat + 1 : o_mat + 2, :]
+        mu = mu_f = geo_ref[o_mat + 2 : o_mat + 3, :]
+        g_of = None
     rmat = drr_ref[dim * npp :, :]
 
     def grad(d, c):
         out = None
         for r in range(dim):
-            g = geo_ref[o_ginv + r * dim + d : o_ginv + r * dim + d + 1, :]
+            g = (g_of(r, d) if g_of is not None else
+                 geo_ref[o_ginv + r * dim + d
+                         : o_ginv + r * dim + d + 1, :])
             term = g * der[r][c]
             out = term if out is None else out + term
         return out
@@ -417,6 +592,7 @@ def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
 
     o_C = off[6] if len(off) > 6 else -1
     if o_C >= 0:
+        assert gexp_ref is None, "packed layout is isotropic-only"
         # general anisotropic Hooke law: C : sym(a (x) b) with engineering
         # Voigt strains (ops/anisotropic.py conventions)
         from .anisotropic import _voigt_strain_pair
@@ -454,13 +630,13 @@ def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
         ndu = sum(nrm[d] * du[d] for d in range(dim))
         face = []
         for c in range(dim):
-            face.append(lam * ndu + 2.0 * mu * nrm[c] * du[c])
+            face.append(lam_f * ndu + 2.0 * mu_f * nrm[c] * du[c])
         if dim == 2:
-            face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+            face.append(mu_f * (nrm[0] * du[1] + nrm[1] * du[0]))
         else:
-            face.append(mu * (nrm[1] * du[2] + nrm[2] * du[1]))
-            face.append(mu * (nrm[0] * du[2] + nrm[2] * du[0]))
-            face.append(mu * (nrm[0] * du[1] + nrm[1] * du[0]))
+            face.append(mu_f * (nrm[1] * du[2] + nrm[2] * du[1]))
+            face.append(mu_f * (nrm[0] * du[2] + nrm[2] * du[0]))
+            face.append(mu_f * (nrm[0] * du[1] + nrm[1] * du[0]))
 
     surfs = _wide_dot_split(lift_ref[:], face)
     res = [None] * n_sig
@@ -497,9 +673,14 @@ def _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
 
 
 def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
-                    *refs):
+                    packed, *refs):
     """Standalone fused stress kernel: traces come pre-exchanged in tr_ref
     (see _stress2_body for the physics)."""
+    if packed:  # gexp is the last INPUT, before the two output refs
+        gexp_ref = refs[-3]
+        refs = refs[:-3] + refs[-2:]
+    else:
+        gexp_ref = None
     i = 0
     u_ref, tr_ref = refs[0], refs[1]
     i = 2
@@ -519,7 +700,7 @@ def _stress2_kernel(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
 
     _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                   get_tr, u_ref, axpy_refs, geo_ref, drr_ref, lift_ref,
-                  erep_ref, out_ref, trout_ref)
+                  erep_ref, out_ref, trout_ref, gexp_ref=gexp_ref)
 
 
 def _lane_specs(block, row_counts):
@@ -544,9 +725,10 @@ def vel2_op(d: FusedOpData, sig_lm, tr_lm, block=DEFAULT_BLOCK,
     (dim*ftpp, E_pad))."""
     E_pad = sig_lm.shape[1]
     grid = (E_pad // block,)
+    packed = d.gexp is not None
     kernel = functools.partial(
         _vel2_kernel, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
-        axpy is not None, dt, c3)
+        axpy is not None, dt, c3, packed)
     args = [sig_lm, tr_lm]
     rows = [sig_lm.shape[0], tr_lm.shape[0]]
     if axpy is not None:
@@ -554,6 +736,7 @@ def vel2_op(d: FusedOpData, sig_lm, tr_lm, block=DEFAULT_BLOCK,
         rows += [axpy[0].shape[0], axpy[1].shape[0]]
     args.append(d.geo)
     rows.append(d.geo.shape[0])
+    tables = [d.drr, d.lift, d.erep] + ([d.gexp] if packed else [])
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -562,8 +745,7 @@ def vel2_op(d: FusedOpData, sig_lm, tr_lm, block=DEFAULT_BLOCK,
         ),
         grid=grid,
         in_specs=_lane_specs(block, rows)
-        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape),
-           _table_spec(d.erep.shape)],
+        + [_table_spec(t.shape) for t in tables],
         out_specs=(
             pl.BlockSpec((d.dim * d.npp, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -571,7 +753,7 @@ def vel2_op(d: FusedOpData, sig_lm, tr_lm, block=DEFAULT_BLOCK,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(*args, d.drr, d.lift, d.erep)
+    )(*args, *tables)
 
 
 def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
@@ -582,9 +764,10 @@ def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
     E_pad = u_lm.shape[1]
     grid = (E_pad // block,)
     use_damp = axpy is not None and d.damp is not None
+    packed = d.gexp is not None
     kernel = functools.partial(
         _stress2_kernel, d.dim, d.n_sig, d.npp, d.ftpp, d.off,
-        axpy is not None, use_damp, dt, c3)
+        axpy is not None, use_damp, dt, c3, packed)
     args = [u_lm, tr_lm]
     rows = [u_lm.shape[0], tr_lm.shape[0]]
     if axpy is not None:
@@ -595,6 +778,7 @@ def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
             rows.append(d.damp.shape[0])
     args.append(d.geo)
     rows.append(d.geo.shape[0])
+    tables = [d.drr, d.lift, d.erep] + ([d.gexp] if packed else [])
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -603,8 +787,7 @@ def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
         ),
         grid=grid,
         in_specs=_lane_specs(block, rows)
-        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape),
-           _table_spec(d.erep.shape)],
+        + [_table_spec(t.shape) for t in tables],
         out_specs=(
             pl.BlockSpec((d.n_sig * d.npp, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -612,4 +795,4 @@ def stress2_op(d: FusedOpData, u_lm, tr_lm, block=DEFAULT_BLOCK,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(*args, d.drr, d.lift, d.erep)
+    )(*args, *tables)
