@@ -427,10 +427,14 @@ def main():
                         MergedLaneRunner)
 
                     try:
+                        # packed='auto': P1 isotropic meshes get the
+                        # two-elements-per-lane layout (FusedOpData
+                        # n_par=2) — the padding-reclaim P1 production
+                        # lever; no-op at higher degrees
                         runner = MergedLaneRunner(
                             p, exch, dt, order=args.order, src=src,
                             damp=damp, receivers=rcv, interpret=interp,
-                            stiffness=aniso_C)
+                            stiffness=aniso_C, packed="auto")
                     except ValueError:
                         if args.impl != "auto":
                             raise

@@ -168,8 +168,8 @@ def measure(
             n_elements=E, n_dof=n_dof, degree=p.degree,
             n_steps=n_steps, seconds=dt_wall,
         )
-    if impl in ("lane", "fused", "merged", "lane_u", "lane_u_sharded",
-                "lane_sharded", "fused_sharded"):
+    if impl in ("lane", "fused", "merged", "merged_pk", "lane_u",
+                "lane_u_sharded", "lane_sharded", "fused_sharded"):
         if impl == "fused_sharded":
             # v3 multi-chip pipeline (config 5): merged kernels + compact
             # trace-plane ppermute; at one local device this is the 1-shard
@@ -252,11 +252,15 @@ def measure(
 
             runner = FusedLaneRunner(p, ex, dt, order=order, src=src,
                                      damp=damp, stiffness=stiffness)
-        elif impl == "merged":
+        elif impl in ("merged", "merged_pk"):
             from ..solver.lane_merged import MergedLaneRunner
 
+            # merged_pk: force the P1 two-elements-per-lane layout (A/B
+            # surface); plain "merged" stays unpacked so the per-degree
+            # split is measurable
             runner = MergedLaneRunner(p, ex, dt, order=order, src=src,
-                                      damp=damp, stiffness=stiffness)
+                                      damp=damp, stiffness=stiffness,
+                                      packed=(impl == "merged_pk"))
         elif impl == "lane":
             from ..solver.lane_major import LaneMajorRunner
 

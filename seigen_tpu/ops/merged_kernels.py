@@ -90,10 +90,25 @@ class MergedPlan:
     h0: int  # halo offset in the trace layout (multiple of bx)
     Grest: int  # lanes per axis-0 plane (= halo plane width)
     pay: int  # payload components per face (LF: dim; upwind: 2*dim)
-    rtf: int  # rows per per-face trace array = roundup(pay*n_fp, 8)
+    rtf: int  # rows per per-face trace array = n_par * rtq
     faces: tuple  # per class: ((kind, sm, slotA, slotB), ...) per face
     slots: tuple  # per class: ((f2, t2, o), ...) deduped window inputs
-    P: tuple  # per class: jnp (nf*rtf, rtf) one-hot pi permutations
+    P: tuple  # per class: jnp (nf*n_par*rtq, rtq) one-hot pi permutations
+    n_par: int = 1  # elements per lane (2 = P1 packed, class pairs)
+    rtq: int = 0  # window row-block height = roundup(pay*n_fp, 8)
+
+    def __post_init__(self):
+        if self.rtq == 0:
+            object.__setattr__(self, "rtq", self.rtf)
+
+    # PACKED layout (n_par=2): original classes (2u, 2u+1) share packed
+    # class u — SAME supercell lane, parity par = t & 1 on sublane rows.
+    # The trace array keeps face-major rows but each face block splits
+    # into n_par parity sub-blocks of rtq rows (f*rtf + par*rtq + c*n_fp
+    # + k), so a consumer window reads ONLY its producer parity's rows;
+    # faces/slots/P are indexed by q = f*n_par + par and slot row-blocks
+    # g = f2*n_par + par2.  Lane/window/shift math is untouched: lanes
+    # are supercells in both layouts.
 
     @property
     def NBs(self):
@@ -141,12 +156,12 @@ def vmem_block_rows(d: FusedOpData, plan) -> int:
     """
     nslot = max((len(s) for s in plan.slots), default=0)
     return (4 * (d.dim + d.n_sig) * d.npp + d.npp + d.geo.shape[0] + 8
-            + nslot * plan.rtf + plan.nf * plan.rtf)
+            + nslot * plan.rtq + plan.nf * plan.rtf)
 
 
 def build_merged_plan(ex, d: FusedOpData, bx: int,
                       G0loc: int | None = None, halo: bool = False,
-                      pay: int | None = None):
+                      pay: int | None = None, n_par: int = 1):
     """Build the per-class window/permutation plan, or None when the mesh
     doesn't satisfy the windowed-read constraints (periodic meshes, very
     large class counts, ambiguous wrap shifts) — callers fall back to the
@@ -157,18 +172,23 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
     resolve axis-0 out-of-slab reads into them instead of requiring them to
     be boundary-masked.  pay: trace payload components per face (default
     d.dim — the LF pipelines; the upwind Riemann kernel carries 2*dim:
-    velocity AND traction rows).
+    velocity AND traction rows).  n_par=2: the P1 PACKED layout — original
+    classes (2u, 2u+1) pair onto packed class u (see MergedPlan); returns
+    None when ex.m is odd.
     """
     from ..solver.lane_fused import _canonical_shift, derive_pairing
 
     grid = ex.grid
     if ex.self_mask.size and not ex.self_mask.any():
         return None  # periodic: wrap planes are not boundary-masked
-    if ex.m > 16:
+    if ex.m > 16 * n_par:
+        return None
+    if n_par == 2 and ex.m % 2:
         return None
     dim_tr = d.dim if pay is None else pay
     nf, nfp = ex.n_faces, ex.n_fp
-    rtf = _rup(dim_tr * nfp, 8)
+    rtq = _rup(dim_tr * nfp, 8)
+    rtf = n_par * rtq
     Grest = int(np.prod(grid[1:])) if len(grid) > 1 else 1
     G0 = grid[0]
     if G0loc is None:
@@ -189,55 +209,65 @@ def build_merged_plan(ex, d: FusedOpData, bx: int,
 
     f2, pi = derive_pairing(ex)
     faces_all, slots_all, P_all = [], [], []
-    for t in range(ex.m):
+    for u in range(ex.m // n_par):
         slot_of = {}
         slots = []
         faces = []
-        P_t = np.zeros((nf, rtf, rtf), dtype=np.float64)
+        P_t = np.zeros((nf * n_par, rtq, rtq), dtype=np.float64)
         for f in range(nf):
-            t2 = int(ex.nbr_class[t, f])
-            off = _canonical_shift(ex, t, f)
-            if off is None:
-                return None
-            s = int(np.dot(off, strides))
-            g = int(f2[t, f])
-            for c in range(dim_tr):
-                P_t[f, c * nfp + np.arange(nfp), c * nfp + pi[t, f]] = 1.0
+            for par in range(n_par):
+                t = u * n_par + par
+                q = f * n_par + par
+                t2 = int(ex.nbr_class[t, f])
+                off = _canonical_shift(ex, t, f)
+                if off is None:
+                    return None
+                s = int(np.dot(off, strides))
+                # slot row-block: producer face f2, producer PARITY t2 %
+                # n_par within packed producer class t2 // n_par
+                g = int(f2[t, f]) * n_par + t2 % n_par
+                for c in range(dim_tr):
+                    P_t[q, c * nfp + np.arange(nfp),
+                        c * nfp + pi[t, f]] = 1.0
 
-            def slot(o):
-                key = (g, t2, o)
-                if key not in slot_of:
-                    slot_of[key] = len(slots)
-                    slots.append(key)
-                return slot_of[key]
+                def slot(o):
+                    key = (g, t2 // n_par, o)
+                    if key not in slot_of:
+                        slot_of[key] = len(slots)
+                        slots.append(key)
+                    return slot_of[key]
 
-            oA = s // bx  # floor division
-            sm = s - oA * bx  # in [0, bx)
-            if sm == 0:
-                faces.append((1, 0, slot(oA), 0))
-            else:
-                faces.append((2, sm, slot(oA), slot(oA + 1)))
+                oA = s // bx  # floor division
+                sm = s - oA * bx  # in [0, bx)
+                if sm == 0:
+                    faces.append((1, 0, slot(oA), 0))
+                else:
+                    faces.append((2, sm, slot(oA), slot(oA + 1)))
         faces_all.append(tuple(faces))
         slots_all.append(tuple(slots))
-        P_all.append(jnp.asarray(P_t.reshape(nf * rtf, rtf),
+        P_all.append(jnp.asarray(P_t.reshape(nf * n_par * rtq, rtq),
                                  d.geo.dtype))
 
     return MergedPlan(
-        bx=bx, m=ex.m, nf=nf, n_fp=nfp, NCloc=NCloc, NCs=NCs, NCt=NCt,
-        h0=h0, Grest=Grest, pay=dim_tr, rtf=rtf,
+        bx=bx, m=ex.m // n_par, nf=nf, n_fp=nfp, NCloc=NCloc, NCs=NCs,
+        NCt=NCt, h0=h0, Grest=Grest, pay=dim_tr, rtf=rtf,
         faces=tuple(faces_all), slots=tuple(slots_all), P=tuple(P_all),
+        n_par=n_par, rtq=rtq,
     )
 
 
-def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
-                   ftpp, pay, signs, n_out, *refs):
+def _merged_kernel(body, nf, faces, n_slots, n_extra, rtq, n_par, n_fp,
+                   ftp, ftpp, pay, signs, n_out, has_gexp, *refs):
     """Window + permute + mask-select, then the shared operator body.
 
     refs: [*obufs (n_out field bufs + trace buf, ANY), field, *extra, geo,
-           mask, P, *windows, drr, lift, erep, *outs (n_out), trout]
+           mask, P, *windows, drr, lift, erep, [gexp], *outs (n_out),
+           trout]
 
     pay: payload components per face; signs: per-component consumer sign
-    (traction rows flip, velocity rows don't).
+    (traction rows flip, velocity rows don't).  n_par=2: faces/windows are
+    per (face, parity) q = f*n_par + par; own-trace rows par*ftq + f*n_fp
+    + k with ftq = ftp // n_par (see MergedPlan).
     """
     i = n_out + 1
     field_ref = refs[i]
@@ -249,22 +279,25 @@ def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
     wrefs = refs[i : i + n_slots]
     i += n_slots
     drr_ref, lift_ref, erep_ref = refs[i : i + 3]
+    gexp_ref = refs[i + 3] if has_gexp else None
     out_refs = refs[-1 - n_out : -1]
     trout_ref = refs[-1]
+    ftq = ftp // n_par
 
     sels = []
-    for f in range(nf):
-        kind, sm, sA, sB = faces[f]
+    for q in range(nf * n_par):
+        kind, sm, sA, sB = faces[q]
         if kind == 1:
             win = wrefs[sA][:]
         else:
             A, B = wrefs[sA][:], wrefs[sB][:]
             win = jnp.concatenate([A[:, sm:], B[:, :sm]], axis=1)
-        sels.append(_dot(p_ref[f * rtf : (f + 1) * rtf, :], win,
+        sels.append(_dot(p_ref[q * rtq : (q + 1) * rtq, :], win,
                          onehot=True))
     perm = []
     for c in range(pay):
-        parts = [sels[f][c * n_fp : (c + 1) * n_fp, :] for f in range(nf)]
+        parts = [sels[f * n_par + par][c * n_fp : (c + 1) * n_fp, :]
+                 for par in range(n_par) for f in range(nf)]
         blk = jnp.concatenate(parts, axis=0)
         if ftpp != ftp:
             blk = jnp.pad(blk, ((0, ftpp - ftp), (0, 0)))
@@ -275,21 +308,26 @@ def _merged_kernel(body, nf, faces, n_slots, n_extra, rtf, n_fp, ftp,
         return jnp.where(mask_exp, own_c, perm[c])
 
     def emit_tr(traces):
-        # face-major rows f*rtf + c*n_fp + k; pad rows written 0 (windows'
-        # P-matmul reads every row, so junk pad rows would poison lanes)
+        # face-major rows f*rtf + par*rtq + c*n_fp + k; pad rows written 0
+        # (windows' P-matmul reads every row, so junk pad rows would
+        # poison lanes)
         B = traces[0].shape[1]
-        pad = rtf - pay * n_fp
+        pad = rtq - pay * n_fp
         blocks = []
         for f in range(nf):
-            blocks += [traces[c][f * n_fp : (f + 1) * n_fp, :]
-                       for c in range(pay)]
-            if pad:
-                blocks.append(jnp.zeros((pad, B), traces[0].dtype))
+            for par in range(n_par):
+                blocks += [
+                    traces[c][par * ftq + f * n_fp
+                              : par * ftq + (f + 1) * n_fp, :]
+                    for c in range(pay)
+                ]
+                if pad:
+                    blocks.append(jnp.zeros((pad, B), traces[0].dtype))
         trout_ref[:] = jnp.concatenate(blocks, axis=0)
 
     body(get_tr, emit_tr, field_ref, extra_refs if n_extra else None,
          geo_ref, drr_ref, lift_ref, erep_ref,
-         out_refs[0] if n_out == 1 else out_refs)
+         out_refs[0] if n_out == 1 else out_refs, gexp_ref)
 
 
 def _split_inj(extra_refs, n_inj):
@@ -304,21 +342,24 @@ def _split_inj(extra_refs, n_inj):
 
 def _vel_body_adapter(dim, n_sig, npp, ftpp, off, axpy, dt, c3, n_inj,
                       get_tr, emit_tr, field_ref, extra_refs, geo_ref,
-                      drr_ref, lift_ref, erep_ref, out_ref):
+                      drr_ref, lift_ref, erep_ref, out_ref,
+                      gexp_ref=None):
     extra_refs, inj = _split_inj(extra_refs or (), n_inj)
     _vel2_body(dim, n_sig, npp, ftpp, off, axpy, dt, c3, get_tr,
                field_ref, extra_refs, geo_ref, drr_ref, lift_ref,
-               erep_ref, out_ref, None, emit_tr=emit_tr, inj=inj)
+               erep_ref, out_ref, None, emit_tr=emit_tr, inj=inj,
+               gexp_ref=gexp_ref)
 
 
 def _stress_body_adapter(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                          n_inj, get_tr, emit_tr, field_ref, extra_refs,
-                         geo_ref, drr_ref, lift_ref, erep_ref, out_ref):
+                         geo_ref, drr_ref, lift_ref, erep_ref, out_ref,
+                         gexp_ref=None):
     extra_refs, inj = _split_inj(extra_refs or (), n_inj)
     _stress2_body(dim, n_sig, npp, ftpp, off, axpy, use_damp, dt, c3,
                   get_tr, field_ref, extra_refs, geo_ref, drr_ref,
                   lift_ref, erep_ref, out_ref, None, emit_tr=emit_tr,
-                  inj=inj)
+                  inj=inj, gexp_ref=gexp_ref)
 
 
 def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
@@ -335,14 +376,16 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
     """
     bx, NBs, NBt = plan.bx, plan.NBs, plan.NBt
     h0b = plan.h0 // bx
-    rtf, nf = plan.rtf, plan.nf
+    rtf, rtq, nf = plan.rtf, plan.rtq, plan.nf
     n_out = len(C_outs)
     n_grid, tj = (NBs, lambda j: j) if jsel is None else jsel
 
     n_extra = len(extra)
+    has_gexp = d.gexp is not None
     kernel = functools.partial(
         _merged_kernel, body, nf, plan.faces[t], len(plan.slots[t]),
-        n_extra, rtf, d.n_fp, d.ftp, d.ftpp, plan.pay, signs, n_out)
+        n_extra, rtq, plan.n_par, d.n_fp, d.ftp, d.ftpp, plan.pay, signs,
+        n_out, has_gexp)
 
     def st_spec(rows):
         return pl.BlockSpec((rows, bx),
@@ -367,13 +410,13 @@ def _class_call_multi(plan, d, t, field, trs, bufs, extra, mask,
     for g, t2, o in plan.slots[t]:
         args.append(trs)
         in_specs.append(pl.BlockSpec(
-            (rtf, bx),
+            (rtq, bx),
             lambda j, g=g, t2=t2, o=o: (
                 g, t2 * NBt + jnp.clip(h0b + tj(j) + o, 0, NBt - 1)),
             memory_space=pltpu.VMEM))
-    args += [d.drr, d.lift, d.erep]
-    in_specs += [tbl_spec(d.drr.shape), tbl_spec(d.lift.shape),
-                 tbl_spec(d.erep.shape)]
+    tables = [d.drr, d.lift, d.erep] + ([d.gexp] if has_gexp else [])
+    args += tables
+    in_specs += [tbl_spec(tb.shape) for tb in tables]
 
     return pl.pallas_call(
         kernel,

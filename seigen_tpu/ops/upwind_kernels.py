@@ -74,12 +74,13 @@ def build_upwind_rows(w: UpwindData) -> np.ndarray:
 
 def _upwind_body(dim, n_sig, npp, ftpp, off, n_inj, get_tr, emit_tr,
                  u_ref, extra_refs, geo_ref, drr_ref, lift_ref, erep_ref,
-                 outs):
+                 outs, gexp_ref=None):
     """Coupled Godunov RHS (see ops/upwind.py for the formulas).
 
     extra_refs: [s, uwg, *(Su_g, Ss_g, r_g) x n_inj] — the kernel-fused
     dense source groups inject du += r_g*Su_g, ds += r_g*Ss_g BEFORE the
     output traces are emitted (solver/lane_merged.py design)."""
+    assert gexp_ref is None, "packed layout is LF-merged-only"
     s_ref, uwg_ref = extra_refs[0], extra_refs[1]
     inj = [(extra_refs[2 + 3 * g], extra_refs[3 + 3 * g],
             extra_refs[4 + 3 * g]) for g in range(n_inj)]

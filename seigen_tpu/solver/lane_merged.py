@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.elastic import ElasticParams, voigt_map
-from ..ops.fused_kernels import FusedOpData, build_fused_data
+from ..ops.fused_kernels import (
+    FusedOpData,
+    build_fused_data,
+    build_packed_fused_data,
+)
 from ..ops.merged_kernels import (
     build_merged_plan,
     choose_block,
@@ -54,24 +58,31 @@ class MergedLaneRunner:
         block: int | None = None,
         interpret: bool = False,
         stiffness=None,
+        packed: bool | str = False,
     ):
         if order != 4:
             raise ValueError("MergedLaneRunner is LF4-only (use the v1 lane "
                              "path for order=2)")
+        if packed == "auto":
+            # two-elements-per-lane pays only where the npp=8 tile is
+            # half-dead (P1) and the layout supports it (isotropic, even
+            # class count); see FusedOpData n_par=2
+            packed = (p.n_p <= 4 and p.n_faces <= 4 and stiffness is None
+                      and ex.m % 2 == 0)
         self._dt_f = float(dt)
         self._c3_f = float(dt) ** 3 / 24.0
-        damp_perm = self._setup_core(
-            p, ex, dt, block, interpret, damp=damp, stiffness=stiffness)
+        self._setup_core(
+            p, ex, dt, block, interpret, damp=damp, stiffness=stiffness,
+            packed=packed)
         d, plan, E = self.d, self.plan, self.E
         self.record_pressure = record_pressure
 
         # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
-        # its traces feed the sh1 stage)
+        # its traces feed the sh1 stage); d.damp is already placed in the
+        # runner lane layout by _setup_core (both packed and unpacked)
         if damp is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float64)
-            dn[: d.n_p] = damp_perm.T
-            dn = self._place(dn)
-            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+            self.damp_u = jnp.asarray(
+                np.tile(np.asarray(self.d.damp), (d.dim, 1)), self.dtype)
         else:
             self.damp_u = None
 
@@ -79,16 +90,23 @@ class MergedLaneRunner:
         self._build_receivers(receivers)
 
     def _setup_core(self, p, ex, dt, block, interpret, damp=None,
-                    stiffness=None, pay=None):
+                    stiffness=None, pay=None, packed=False):
         """Shared lane-layout setup (also used by the upwind RK4 runner):
         class-major permutation, merged plan, placed geo/mask, face-node
         normal expansion + restriction matrix.  Returns the permuted damp
-        node values (or None)."""
+        node values (or None).
+
+        packed=True: the P1 two-elements-per-lane layout — original
+        classes (2u, 2u+1) pair onto packed class u, parity par = t & 1
+        on sublane rows par*4+i (FusedOpData n_par=2 / MergedPlan
+        docstrings).  Lanes are supercells in BOTH layouts, so the
+        window/shift machinery is shared."""
         self.p = p
         self.ex = ex
         self.interpret = interpret
         self.dtype = p.Ginv.dtype
         self.dt = jnp.asarray(dt, self.dtype)
+        self.n_par = 2 if packed else 1
 
         NC = int(np.prod(ex.grid))
         self.NC = NC
@@ -98,14 +116,25 @@ class MergedLaneRunner:
         self._old_of_new, self._new_of_old = old_of_new, new_of_old
 
         damp_perm = None if damp is None else np.asarray(damp)[old_of_new]
-        d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
+        if packed:
+            if stiffness is not None:
+                raise ValueError("packed layout is isotropic-only")
+            if ex.m % 2:
+                raise ValueError("packed layout needs an even class count")
+            idx = np.arange(E).reshape(ex.m, NC)
+            d = build_packed_fused_data(
+                p, old_of_new[idx[0::2].reshape(-1)],
+                old_of_new[idx[1::2].reshape(-1)], damp=damp)
+        else:
+            d = build_fused_data(p, damp=damp_perm, stiffness=stiffness)
         self.E = E
         from ..ops.merged_kernels import (
             BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
 
         bx = choose_block(NC) if block is None else block
         while True:
-            plan = build_merged_plan(ex, d, bx, pay=pay)
+            plan = build_merged_plan(ex, d, bx, pay=pay,
+                                     n_par=self.n_par)
             if plan is None:
                 raise ValueError("mesh does not satisfy the merged-kernel "
                                  "constraints (see build_merged_plan)")
@@ -118,46 +147,71 @@ class MergedLaneRunner:
             bx = max(b for b in BLOCK_LADDER if b < bx)
         self.block = bx
         self.plan = plan
+        # parity row offset within a state tile; ftq = per-parity trace rows
+        self._hp = d.npp // self.n_par
+        self._ftq = d.ftp // self.n_par
 
         import dataclasses as _dc
 
+        # packed d.geo/d.damp columns are already pair-ordered (the pairs
+        # above compose old_of_new); unpacked needs the class-major perm
+        geo_cols = (np.asarray(d.geo) if packed
+                    else np.asarray(d.geo)[:, old_of_new])
         self.d = d = _dc.replace(
             d,
-            geo=jnp.asarray(
-                self._place(np.asarray(d.geo)[:, old_of_new]), self.dtype),
+            geo=jnp.asarray(self._place(geo_cols), self.dtype),
             damp=None if d.damp is None else jnp.asarray(
                 self._place(np.asarray(d.damp)), self.dtype),
         )
 
-        # per-face boundary mask as lane rows (8, Ls); dead lanes = 1 (own)
+        # per-face boundary mask as lane rows (8, Ls); dead lanes = 1
+        # (own); packed: row par*4 + f of packed class t // 2
         mk = np.ones((8, plan.Ls), dtype=np.float32)
         for t in range(ex.m):
+            u, par = divmod(t, self.n_par)
             for f in range(ex.n_faces):
-                mk[f, t * plan.NCs : t * plan.NCs + NC] = (
+                mk[par * 4 + f,
+                   u * plan.NCs : u * plan.NCs + NC] = (
                     ex.self_mask[t, f].reshape(-1))
         self.mask = jnp.asarray(mk, self.dtype)
 
         # face-node-expanded normals for the initial traction extraction
-        nrm = np.asarray(p.normals)[old_of_new]  # (E, nf, dim)
+        # (packed: parity row sections par*ftq + f*n_fp + k)
+        nrm = np.asarray(p.normals)  # OLD element order
         rep = np.repeat(np.arange(d.nf), d.n_fp)
+        ftq = self._ftq
         nrm_exp = np.zeros((d.dim, d.ftpp, plan.Ls), dtype=np.float64)
-        for dd in range(d.dim):
-            nrm_exp[dd, : d.ftp] = self._place(nrm[:, rep, dd].T)
+        for t in range(ex.m):
+            u, par = divmod(t, self.n_par)
+            pe = old_of_new[t * NC : (t + 1) * NC]
+            for dd in range(d.dim):
+                nrm_exp[dd, par * ftq : par * ftq + ftq,
+                        u * plan.NCs : u * plan.NCs + NC] = (
+                    nrm[pe][:, rep, dd].T)
         self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
         rmat = np.zeros((d.ftpp, d.npp), dtype=np.float64)
         fn = np.array(p.fnodes).reshape(-1)
-        rmat[np.arange(d.ftp), fn] = 1.0
+        for par in range(self.n_par):
+            rmat[par * ftq + np.arange(ftq), par * self._hp + fn] = 1.0
         self._rmat = jnp.asarray(rmat, self.dtype)
         return damp_perm
 
     def _build_receivers(self, receivers):
         if receivers is not None:
+            e_new = self._new_of_old[np.asarray(receivers.elems)]
+            # node weights expanded to the npp tile rows at the element's
+            # parity section (unpacked: rows 0..n_p; dead rows are exactly
+            # 0 in the state, so the full-tile einsum in _sample is exact)
+            w = np.asarray(receivers.weights)
+            w8 = np.zeros((w.shape[0], self.d.npp), dtype=w.dtype)
+            par_r = np.asarray(self._epar(e_new))
+            for par in range(self.n_par):
+                kk = par_r == par
+                w8[kk, par * self._hp : par * self._hp + self.d.n_p] = (
+                    w[kk])
             self.rcv = ReceiverData(
-                elems=jnp.asarray(
-                    self._slane(
-                        self._new_of_old[np.asarray(receivers.elems)]),
-                    jnp.int32),
-                weights=receivers.weights,
+                elems=jnp.asarray(self._slane(e_new), jnp.int32),
+                weights=jnp.asarray(w8, self.dtype),
             )
         else:
             self.rcv = None
@@ -173,13 +227,18 @@ class MergedLaneRunner:
         return out
 
     def _slane(self, e_new):
-        """class-major element index -> state lane."""
-        return (e_new // self.NC) * self.plan.NCs + e_new % self.NC
+        """class-major element index -> state lane (packed: of its pair)."""
+        return ((e_new // self.NC) // self.n_par) * self.plan.NCs + (
+            e_new % self.NC)
 
     def _tlane(self, e_new):
-        """class-major element index -> trace lane."""
-        return ((e_new // self.NC) * self.plan.NCt + self.plan.h0
-                + e_new % self.NC)
+        """class-major element index -> trace lane (packed: of its pair)."""
+        return (((e_new // self.NC) // self.n_par) * self.plan.NCt
+                + self.plan.h0 + e_new % self.NC)
+
+    def _epar(self, e_new):
+        """class-major element index -> parity within its lane pair."""
+        return (e_new // self.NC) % self.n_par
 
     # ------------------------------------------------------------------
     def _build_sources(self, src, new_of_old):
@@ -189,37 +248,49 @@ class MergedLaneRunner:
             return
         K = src.elems.shape[0]
         V = voigt_map(d.dim)
-        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
-        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
-        for c in range(d.dim):
-            vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
-                src.vec_u[:, :, c]).T
-        for c in range(d.n_sig):
-            vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
-                src.vec_s[:, :, c]).T
         fnodes = np.array(p.fnodes)
         normals = np.asarray(p.normals)  # OLD order
         elems_old = np.asarray(src.elems)
         vec_u = np.asarray(src.vec_u)
         vec_s = np.asarray(src.vec_s)
-        # face-major trace patches, rows f*rtf + c*n_fp + k
-        rtf = self.plan.rtf
+        e_new = new_of_old[elems_old]
+        par_k = self._epar(e_new)  # parity row section per source element
+        hp = self._hp
+        vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
+        vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
+        # face-major trace patches, rows f*rtf + par*rtq + c*n_fp + k
+        rtf, rtq = self.plan.rtf, self.plan.rtq
         tru = np.zeros((d.nf * rtf, K), dtype=np.float64)
         trt = np.zeros((d.nf * rtf, K), dtype=np.float64)
-        for c in range(d.dim):
-            for f in range(d.nf):
-                rows = f * rtf + c * d.n_fp + np.arange(d.n_fp)
-                tru[rows] = vec_u[:, fnodes[f], c].T
-                acc = np.zeros((K, d.n_fp))
-                for dd in range(d.dim):
-                    acc += (normals[elems_old, f, dd][:, None]
-                            * vec_s[:, fnodes[f], V[c, dd]])
-                trt[rows] = acc.T
-        e_new = new_of_old[elems_old]
+        for par in range(self.n_par):
+            kk = np.where(par_k == par)[0]
+            if not kk.size:
+                continue
+            for c in range(d.dim):
+                vu[c * d.npp + par * hp
+                   : c * d.npp + par * hp + d.n_p, kk] = (
+                    vec_u[kk][:, :, c].T)
+            for c in range(d.n_sig):
+                vs[c * d.npp + par * hp
+                   : c * d.npp + par * hp + d.n_p, kk] = (
+                    vec_s[kk][:, :, c].T)
+            for c in range(d.dim):
+                for f in range(d.nf):
+                    rows = (f * rtf + par * rtq + c * d.n_fp
+                            + np.arange(d.n_fp))
+                    tru[np.ix_(rows, kk)] = vec_u[kk][:, fnodes[f], c].T
+                    acc = np.zeros((kk.size, d.n_fp))
+                    for dd in range(d.dim):
+                        acc += (normals[elems_old[kk], f, dd][:, None]
+                                * vec_s[kk][:, fnodes[f], V[c, dd]])
+                    trt[np.ix_(rows, kk)] = acc.T
         sl, tl = self._slane(e_new), self._tlane(e_new)
         self.src_elems = jnp.asarray(sl, jnp.int32)
         self.src_elems_tr = jnp.asarray(tl, jnp.int32)
-        self._src_unique = bool(np.unique(e_new).size == e_new.size)
+        # packed pairs may share a LANE with different parities — parity
+        # rows are disjoint, but inject_columns adds whole columns, so
+        # uniqueness must be judged on lanes
+        self._src_unique = bool(np.unique(sl).size == sl.size)
 
         # dense per-wavelet-group patterns for KERNEL-fused injection: a
         # "point" source is a Gaussian blob over O(10k) elements (radius
@@ -272,16 +343,19 @@ class MergedLaneRunner:
 
     # --- state conversion ---
     def _to_lm(self, x, C):
-        """(E, n_p, C) standard -> (C*npp, Ls) per-class padded lanes."""
+        """(E, n_p, C) standard -> (C*npp, Ls) per-class padded lanes
+        (packed: original class t on parity rows (t % 2)*4 + i of packed
+        class t // 2)."""
         d, plan = self.d, self.plan
         perm = jnp.asarray(self._old_of_new)
         xt = x[perm].transpose(2, 1, 0)  # (C, n_p, E) class-major
         out = jnp.zeros((C * d.npp, plan.Ls), dtype=x.dtype)
         for c in range(C):
-            for t in range(plan.m):
+            for t in range(plan.m * self.n_par):
+                u, par = divmod(t, self.n_par)
                 out = jax.lax.dynamic_update_slice(
                     out, xt[c][:, t * self.NC : (t + 1) * self.NC],
-                    (c * d.npp, t * plan.NCs))
+                    (c * d.npp + par * self._hp, u * plan.NCs))
         return out
 
     def _from_lm(self, y, C):
@@ -289,11 +363,12 @@ class MergedLaneRunner:
         inv = jnp.asarray(self._new_of_old)
         comps = []
         for c in range(C):
-            cls = [
-                y[c * d.npp : c * d.npp + d.n_p,
-                  t * plan.NCs : t * plan.NCs + self.NC]
-                for t in range(plan.m)
-            ]
+            cls = []
+            for t in range(plan.m * self.n_par):
+                u, par = divmod(t, self.n_par)
+                r0 = c * d.npp + par * self._hp
+                cls.append(y[r0 : r0 + d.n_p,
+                             u * plan.NCs : u * plan.NCs + self.NC])
             comps.append(jnp.concatenate(cls, axis=1))
         return jnp.stack(comps, axis=0).transpose(2, 1, 0)[inv]
 
@@ -319,13 +394,17 @@ class MergedLaneRunner:
             t = sum(self._nrm_exp[dd] * tr_sig[V[c, dd]]
                     for dd in range(d.dim))
             rows.append(t)  # (ftpp, Ls) per component
-        nfp, pad = d.n_fp, plan.rtf - d.dim * d.n_fp
+        nfp, pad = d.n_fp, plan.rtq - d.dim * d.n_fp
+        ftq = self._ftq
         blocks = []
         for f in range(plan.nf):
-            blocks += [rows[c][f * nfp : (f + 1) * nfp]
-                       for c in range(d.dim)]
-            if pad:
-                blocks.append(jnp.zeros((pad, plan.Ls), rows[0].dtype))
+            for par in range(self.n_par):
+                blocks += [rows[c][par * ftq + f * nfp
+                                   : par * ftq + (f + 1) * nfp]
+                           for c in range(d.dim)]
+                if pad:
+                    blocks.append(
+                        jnp.zeros((pad, plan.Ls), rows[0].dtype))
         blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
         out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
         for t in range(plan.m):
@@ -409,13 +488,15 @@ class MergedLaneRunner:
         return lf(ulm, slm, trs, t, self.dt)
 
     def _sample(self, aux, u_lm, s_lm=None):
+        # rcv_w is tile-row expanded (see _build_receivers): the einsum
+        # runs over the full npp rows, parity handled by the weight rows
         d = self.d
         g = u_lm[:, self.rcv.elems]
-        g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
+        g3 = g.reshape(d.dim, d.npp, -1)
         rec = jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
         if self.record_pressure and s_lm is not None:
             gs = s_lm[:, self.rcv.elems].reshape(d.n_sig, d.npp, -1)
-            pr = -jnp.mean(gs[: d.dim, : d.n_p], axis=0)
+            pr = -jnp.mean(gs[: d.dim], axis=0)
             rec_p = jnp.einsum("ri,ir->r", aux["rcv_w"], pr)[:, None]
             rec = jnp.concatenate([rec, rec_p], axis=-1)
         return rec

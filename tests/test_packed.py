@@ -143,3 +143,85 @@ def test_packed_rejects_high_degree():
     p = build_params(dm, MAT, dtype=jnp.float32)
     with pytest.raises(ValueError):
         build_packed_fused_data(p, np.array([0]), np.array([1]))
+
+
+# --- packed merged runner (exchange-in-kernel) vs the unpacked engine ---
+
+from seigen_tpu.ops.structured_exchange import detect_structured  # noqa: E402
+from seigen_tpu.solver import (  # noqa: E402
+    PointSource,
+    State,
+    absorbing_bc_fn,
+    build_receivers,
+    build_sources,
+    cfl_dt,
+    line,
+    sponge_mask,
+)
+from seigen_tpu.solver.lane_merged import MergedLaneRunner  # noqa: E402
+
+
+def _case(dim, full):
+    if dim == 3:
+        ext = ((0.0, 1.0),) * 3
+        dm = build_discrete(
+            box_mesh(2, 2, 2), 1,
+            bc_fn=absorbing_bc_fn(ext, free_sides=[(2, "hi")])
+            if full else None)
+        src = build_sources(
+            dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0,
+                             radius=0.25)], dtype=jnp.float32)
+        rcv = build_receivers(
+            dm, line((0.2, 0.5, 0.9), (0.8, 0.5, 0.9), 3),
+            dtype=jnp.float32)
+    else:
+        ext = ((0.0, 1.0),) * 2
+        dm = build_discrete(
+            rect_mesh(4, 4), 1,
+            bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")])
+            if full else None)
+        src = build_sources(
+            dm, [PointSource(position=(0.5, 0.6), f0=4.0, radius=0.2)],
+            dtype=jnp.float32)
+        rcv = build_receivers(dm, line((0.2, 0.9), (0.8, 0.9), 3),
+                              dtype=jnp.float32)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi")], width=0.3), jnp.float32)
+    return dm, src, rcv, damp
+
+
+@pytest.mark.parametrize("dim,full", [(2, False), (3, False), (2, True),
+                                      (3, True)])
+def test_packed_merged_runner(dim, full):
+    """Packed (two-elements-per-lane) merged runner == unpacked merged
+    runner, bare and with the full production feature set (mixed BCs,
+    kernel-fused dense source injection, sponge damping, receivers)."""
+    dm, src, rcv, damp = _case(dim, full)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    assert ex is not None and ex.m % 2 == 0
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    n_sig = 3 if dim == 2 else 6
+    rng = np.random.default_rng(7)
+    st = State(
+        u=jnp.asarray(rng.standard_normal((E, n_p, dim)) * 0.01,
+                      jnp.float32),
+        s=jnp.asarray(rng.standard_normal((E, n_p, n_sig)) * 0.01,
+                      jnp.float32),
+    )
+    kw = (dict(src=src, damp=damp, receivers=rcv) if full else {})
+    ref = MergedLaneRunner(p, ex, dt, order=4, block=8, interpret=True,
+                           **kw)
+    out_r, seis_r = ref.run(st, 4)
+    pk = MergedLaneRunner(p, ex, dt, order=4, block=8, interpret=True,
+                          packed=True, **kw)
+    assert pk.plan.n_par == 2 and pk.plan.m == ex.m // 2
+    out_p, seis_p = pk.run(st, 4)
+    np.testing.assert_allclose(np.asarray(out_p.u), np.asarray(out_r.u),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p.s), np.asarray(out_r.s),
+                               rtol=2e-4, atol=2e-5)
+    if full:
+        assert pk.src_dense is not None  # kernel-fused injection active
+        np.testing.assert_allclose(seis_p, seis_r, rtol=2e-4, atol=2e-5)
