@@ -158,37 +158,48 @@ def build_discrete(
     coords = np.einsum("pk,ekd->epd", bary_nodes, verts[cells])
 
     # --- geometric factors (affine simplices) ---
-    J = np.transpose(verts[cells[:, 1:]] - verts[cells[:, :1]], (0, 2, 1))
-    detJ = np.linalg.det(J)
-    assert np.all(detJ > 0), "cells must be positively oriented"
-    Ginv = np.linalg.inv(J)  # (E, dim, dim): rows are d xi_r / d x
+    # native C++ single-pass twin when available (SURVEY §3.1(3);
+    # tight-tolerance oracle test in tests/test_native.py — closed-form
+    # adjugate inverse vs LAPACK differs only in rounding)
+    from . import native as _native
 
-    # --- face normals, surface Jacobians ---
-    normals = np.zeros((E, n_faces, dim))
-    sJ = np.zeros((E, n_faces))
-    for f in range(n_faces):
-        pv = verts[cells[:, re.face_vertices[f]]]  # (E, dim, dim)
-        opp = verts[cells[:, f]]  # opposite vertex
-        if dim == 2:
-            t = pv[:, 1] - pv[:, 0]
-            sJ[:, f] = np.linalg.norm(t, axis=1)
-            n = np.stack([t[:, 1], -t[:, 0]], axis=1)
-        else:
-            c = np.cross(pv[:, 1] - pv[:, 0], pv[:, 2] - pv[:, 0])
-            sJ[:, f] = np.linalg.norm(c, axis=1)
-            n = c
-        n = n / np.linalg.norm(n, axis=1, keepdims=True)
-        flip = np.einsum("ed,ed->e", n, pv[:, 0] - opp) < 0
-        n[flip] *= -1.0
-        normals[:, f] = n
-    Fscale = sJ / detJ[:, None]
+    if _native.available():
+        Ginv, detJ, normals, Fscale, h = _native.geometric_factors(
+            verts, cells, np.asarray(re.face_vertices))
+        assert np.all(detJ > 0), "cells must be positively oriented"
+    else:
+        J = np.transpose(verts[cells[:, 1:]] - verts[cells[:, :1]],
+                         (0, 2, 1))
+        detJ = np.linalg.det(J)
+        assert np.all(detJ > 0), "cells must be positively oriented"
+        Ginv = np.linalg.inv(J)  # (E, dim, dim): rows are d xi_r / d x
 
-    # characteristic size: min altitude = dim * vol / max face area
-    from math import factorial
+        # --- face normals, surface Jacobians ---
+        normals = np.zeros((E, n_faces, dim))
+        sJ = np.zeros((E, n_faces))
+        for f in range(n_faces):
+            pv = verts[cells[:, re.face_vertices[f]]]  # (E, dim, dim)
+            opp = verts[cells[:, f]]  # opposite vertex
+            if dim == 2:
+                t = pv[:, 1] - pv[:, 0]
+                sJ[:, f] = np.linalg.norm(t, axis=1)
+                n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+            else:
+                c = np.cross(pv[:, 1] - pv[:, 0], pv[:, 2] - pv[:, 0])
+                sJ[:, f] = np.linalg.norm(c, axis=1)
+                n = c
+            n = n / np.linalg.norm(n, axis=1, keepdims=True)
+            flip = np.einsum("ed,ed->e", n, pv[:, 0] - opp) < 0
+            n[flip] *= -1.0
+            normals[:, f] = n
+        Fscale = sJ / detJ[:, None]
 
-    vol = detJ / factorial(dim)
-    farea = sJ / factorial(dim - 1)
-    h = dim * vol / farea.max(axis=1)
+        # characteristic size: min altitude = dim * vol / max face area
+        from math import factorial
+
+        vol = detJ / factorial(dim)
+        farea = sJ / factorial(dim - 1)
+        h = dim * vol / farea.max(axis=1)
 
     # --- face-node pairing via geometric keys ---
     canon = _canonical_vertex_ids(topo)

@@ -83,6 +83,29 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.geometric_factors.restype = None
+        lib.geometric_factors.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.halo_needs.restype = ctypes.c_int64
+        lib.halo_needs.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -126,6 +149,71 @@ def decode_partners(partner: np.ndarray, nf: int, nfp: int, n_p: int,
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return nbr, sp.astype(bool)
+
+
+def geometric_factors(verts: np.ndarray, cells: np.ndarray,
+                      face_vertices: np.ndarray):
+    """Affine-simplex geometry in one C pass (oracle: mesh/discrete.py).
+
+    Returns (Ginv (E, dim, dim), detJ (E,), normals (E, nf, dim),
+    Fscale (E, nf), h (E,)) — nf = dim + 1."""
+    lib = _load()
+    assert lib is not None
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    cells = np.ascontiguousarray(cells, dtype=np.int64)
+    fv = np.ascontiguousarray(face_vertices, dtype=np.int64)
+    E, dim = cells.shape[0], verts.shape[1]
+    nf = dim + 1
+    assert cells.shape[1] == nf and fv.shape == (nf, dim)
+    ginv = np.empty((E, dim, dim), dtype=np.float64)
+    detj = np.empty(E, dtype=np.float64)
+    normals = np.empty((E, nf, dim), dtype=np.float64)
+    fscale = np.empty((E, nf), dtype=np.float64)
+    h = np.empty(E, dtype=np.float64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.geometric_factors(
+        verts.ctypes.data_as(pd),
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(E), ctypes.c_int32(dim),
+        fv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ginv.ctypes.data_as(pd), detj.ctypes.data_as(pd),
+        normals.ctypes.data_as(pd), fscale.ctypes.data_as(pd),
+        h.ctypes.data_as(pd),
+    )
+    return ginv, detj, normals, fscale, h
+
+
+def halo_needs(gids: np.ndarray, src: np.ndarray, dst: np.ndarray,
+               P: int) -> dict:
+    """Directed cross-shard needs: {(src, dst): sorted unique gids}
+    (oracle: the lexsort + per-pair np.unique block of
+    parallel/partition.py make_plan)."""
+    lib = _load()
+    assert lib is not None
+    gids = np.ascontiguousarray(gids, dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    n = len(gids)
+    out = np.empty(n, dtype=np.int64)
+    counts = np.empty(P * P, dtype=np.int64)
+    total = lib.halo_needs(
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int32(P),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    needs: dict = {}
+    off = 0
+    for d_ in range(P):
+        for s_ in range(P):
+            c = int(counts[d_ * P + s_])
+            if c:
+                needs[(s_, d_)] = out[off : off + c].copy()
+                off += c
+    assert off == total
+    return needs
 
 
 def morton_argsort(q: np.ndarray, bits: int = 16) -> np.ndarray:

@@ -13,6 +13,7 @@
 // (tests/test_native.py checks exact agreement).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -90,6 +91,131 @@ void argsort_u64(const uint64_t* codes, int64_t n, int64_t* perm_out) {
 }  // extern "C"
 
 extern "C" {
+
+// Affine-simplex geometric factors in one element pass (the NumPy oracle
+// is mesh/discrete.py's J/detJ/Ginv/normals/Fscale/h block; closed-form
+// adjugate inverse instead of LAPACK, tight-tolerance-tested in
+// tests/test_native.py).  verts (V, dim) f64, cells (E, dim+1) i64,
+// face_vertices (nf, dim) i64 (face f's vertex slots; slot f is opposite).
+// Outputs: ginv (E, dim, dim), detj (E,), normals (E, nf, dim),
+// fscale (E, nf), h (E,).
+void geometric_factors(const double* verts, const int64_t* cells, int64_t E,
+                       int32_t dim, const int64_t* face_vertices,
+                       double* ginv, double* detj, double* normals,
+                       double* fscale, double* h) {
+  const int32_t nf = dim + 1;
+  const double fact_dim = (dim == 2) ? 2.0 : 6.0;       // dim!
+  const double fact_fdim = (dim == 2) ? 1.0 : 2.0;      // (dim-1)!
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t* cv = cells + e * (dim + 1);
+    const double* v0 = verts + cv[0] * dim;
+    // J[:, c] = v_{c+1} - v0 (column-major edge matrix, as in the oracle)
+    double J[9];
+    for (int32_t c = 0; c < dim; ++c) {
+      const double* vc = verts + cv[c + 1] * dim;
+      for (int32_t r = 0; r < dim; ++r) J[r * dim + c] = vc[r] - v0[r];
+    }
+    double det;
+    double* G = ginv + e * dim * dim;
+    if (dim == 2) {
+      det = J[0] * J[3] - J[1] * J[2];
+      const double inv = 1.0 / det;
+      G[0] = J[3] * inv;
+      G[1] = -J[1] * inv;
+      G[2] = -J[2] * inv;
+      G[3] = J[0] * inv;
+    } else {
+      const double c00 = J[4] * J[8] - J[5] * J[7];
+      const double c01 = J[5] * J[6] - J[3] * J[8];
+      const double c02 = J[3] * J[7] - J[4] * J[6];
+      det = J[0] * c00 + J[1] * c01 + J[2] * c02;
+      const double inv = 1.0 / det;
+      G[0] = c00 * inv;
+      G[1] = (J[2] * J[7] - J[1] * J[8]) * inv;
+      G[2] = (J[1] * J[5] - J[2] * J[4]) * inv;
+      G[3] = c01 * inv;
+      G[4] = (J[0] * J[8] - J[2] * J[6]) * inv;
+      G[5] = (J[2] * J[3] - J[0] * J[5]) * inv;
+      G[6] = c02 * inv;
+      G[7] = (J[1] * J[6] - J[0] * J[7]) * inv;
+      G[8] = (J[0] * J[4] - J[1] * J[3]) * inv;
+    }
+    detj[e] = det;
+    double max_farea = 0.0;
+    for (int32_t f = 0; f < nf; ++f) {
+      const int64_t* fv = face_vertices + f * dim;
+      const double* p0 = verts + cv[fv[0]] * dim;
+      const double* opp = verts + cv[f] * dim;
+      double n[3], sj;
+      if (dim == 2) {
+        const double* p1 = verts + cv[fv[1]] * dim;
+        const double tx = p1[0] - p0[0], ty = p1[1] - p0[1];
+        sj = std::sqrt(tx * tx + ty * ty);
+        n[0] = ty;
+        n[1] = -tx;
+      } else {
+        const double* p1 = verts + cv[fv[1]] * dim;
+        const double* p2 = verts + cv[fv[2]] * dim;
+        const double a0 = p1[0] - p0[0], a1 = p1[1] - p0[1],
+                     a2 = p1[2] - p0[2];
+        const double b0 = p2[0] - p0[0], b1 = p2[1] - p0[1],
+                     b2 = p2[2] - p0[2];
+        n[0] = a1 * b2 - a2 * b1;
+        n[1] = a2 * b0 - a0 * b2;
+        n[2] = a0 * b1 - a1 * b0;
+        sj = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+      }
+      double nn = 0.0, dot = 0.0;
+      for (int32_t d = 0; d < dim; ++d) nn += n[d] * n[d];
+      nn = std::sqrt(nn);
+      for (int32_t d = 0; d < dim; ++d) {
+        n[d] /= nn;
+        dot += n[d] * (p0[d] - opp[d]);
+      }
+      const double sign = (dot < 0.0) ? -1.0 : 1.0;
+      for (int32_t d = 0; d < dim; ++d)
+        normals[(e * nf + f) * dim + d] = sign * n[d];
+      fscale[e * nf + f] = sj / det;
+      const double farea = sj / fact_fdim;
+      if (farea > max_farea) max_farea = farea;
+    }
+    h[e] = dim * (det / fact_dim) / max_farea;
+  }
+}
+
+// Directed halo needs: the cross-shard (dst <- src) sorted-unique global
+// node-id lists of parallel/partition.py's make_plan (its lexsort +
+// per-pair np.unique block — the O(N log N) hot part of halo planning).
+// gids/src/dst: (n,) cross-shard references.  Writes the per-pair unique
+// gids consecutively into out_gids (caller-allocated, size >= n) in
+// (dst, src) key order and the per-pair counts into counts (P*P, keyed
+// dst*P + src).  Returns the total number written.
+int64_t halo_needs(const int64_t* gids, const int32_t* src,
+                   const int32_t* dst, int64_t n, int32_t P,
+                   int64_t* out_gids, int64_t* counts) {
+  std::vector<int64_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  auto key = [src, dst, P](int64_t i) {
+    return static_cast<int64_t>(dst[i]) * P + src[i];
+  };
+  std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    const int64_t ka = key(a), kb = key(b);
+    if (ka != kb) return ka < kb;
+    return gids[a] < gids[b];
+  });
+  std::memset(counts, 0, sizeof(int64_t) * static_cast<int64_t>(P) * P);
+  int64_t m = 0;
+  for (int64_t t = 0; t < n; ++t) {
+    const int64_t i = idx[t];
+    if (t > 0) {
+      const int64_t j = idx[t - 1];
+      if (key(i) == key(j) && gids[i] == gids[j]) continue;  // dup
+    }
+    out_gids[m++] = gids[i];
+    ++counts[key(i)];
+  }
+  return m;
+}
 
 // Decode partner slots into neighbour node ids + boundary flags in one pass.
 // partner: (E*nf*nfp,) slot ids; fnodes: (nf*nfp,) local node ids

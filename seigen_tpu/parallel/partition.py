@@ -122,6 +122,8 @@ def make_plan(dm: DiscreteMesh, n_shards: int) -> Plan:
     my_shard = shard_of_elem[:, None, None]
 
     # directed needs: for each (q -> p): sorted unique global node ids
+    # (native C++ sort+dedup twin when available — SURVEY §3.1(3); exact
+    # oracle test in tests/test_native.py)
     needs: dict[tuple[int, int], np.ndarray] = {}
     cross = owner != my_shard
     if cross.any():
@@ -129,13 +131,19 @@ def make_plan(dm: DiscreteMesh, n_shards: int) -> Plan:
         gids = nbr_full[ce]
         src = owner[ce]
         dst = np.broadcast_to(my_shard, nbr_full.shape)[ce]
-        order = np.lexsort((gids, src, dst))
-        gids, src, dst = gids[order], src[order], dst[order]
-        key = dst * P + src
-        boundaries = np.r_[0, np.nonzero(np.diff(key))[0] + 1, len(key)]
-        for a, b in zip(boundaries[:-1], boundaries[1:]):
-            q, p_ = int(src[a]), int(dst[a])
-            needs[(q, p_)] = np.unique(gids[a:b])
+        from ..mesh import native as _native
+
+        if _native.available():
+            needs = _native.halo_needs(gids, src, dst, P)
+        else:
+            order = np.lexsort((gids, src, dst))
+            gids, src, dst = gids[order], src[order], dst[order]
+            key = dst * P + src
+            boundaries = np.r_[0, np.nonzero(np.diff(key))[0] + 1,
+                               len(key)]
+            for a, b in zip(boundaries[:-1], boundaries[1:]):
+                q, p_ = int(src[a]), int(dst[a])
+                needs[(q, p_)] = np.unique(gids[a:b])
 
     # undirected pairs + edge colouring
     und = sorted({tuple(sorted(k)) for k in needs})
