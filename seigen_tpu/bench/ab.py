@@ -131,6 +131,62 @@ def run_ab(n=24, degree=3, steps=50, impl="fused"):
 
         rows["vel3"] = _timed_scan(
             lambda c, a: vel1(vel1(vel1(c, a), a), a), slm, (d, trs), steps)
+    elif impl == "upwind_u":
+        # unstructured upwind split (VERDICT r3 next-round #7): the RHS is
+        # two panel gathers (_pg_u/_pg_t: one-hot restriction + takes) +
+        # the coupled Godunov kernel; RK4 runs 4 RHS per step.  Rows: rhs4
+        # (the production chain), g4 (panels only, x4), k4 (kernel only,
+        # fixed panels, x4) — rhs4 - g4 - k4 = glue/overlap.
+        from ..ops.pallas_kernels import upwind_rhs_lm_sel
+        from ..ops.upwind import build_upwind_data
+        from ..solver.lane_upwind_u import UnstructuredUpwindRunner
+        from .throughput import BENCH_MAT
+
+        dm, p, src, damp, dt, state0 = setup_case(
+            n=n, degree=degree, scramble=True)
+        w = build_upwind_data(dm, BENCH_MAT, dtype=p.Ginv.dtype)
+        r = UnstructuredUpwindRunner(
+            p, w, dt, src=src, damp=damp,
+            centroids=np.asarray(dm.coords.mean(axis=1)))
+        d = r.d
+        aux = r._aux()
+        ulm, slm = r.to_lm_state(state0)
+        zz = (aux["zpn"], aux["zsn"], aux["zown"])
+        PU, PT = r._pg_u[0](ulm), r._pg_t[0](slm)
+
+        def fold(x, g):
+            f = g.reshape(-1)[: x.size]
+            f = jnp.concatenate(
+                [f, jnp.zeros(x.size - f.size, x.dtype)]).reshape(x.shape)
+            return x + 1e-30 * f
+
+        def rhs1(c, a):
+            u, s = c
+            out = upwind_rhs_lm_sel(
+                d, zz, u, s, r._pg_u[0](u), r._pg_t[0](s),
+                aux["uw_combo"], aux["sign_u"], aux["sign_t"],
+                r._pg_u[3], r.block, False)
+            return (u + 1e-30 * out[: d.dim * d.npp],
+                    s + 1e-30 * out[d.dim * d.npp :])
+
+        def g1(c, a):
+            u, s = c
+            return fold(u, r._pg_u[0](u)), fold(s, r._pg_t[0](s))
+
+        def k1(c, a):
+            u, s = c
+            out = upwind_rhs_lm_sel(
+                d, zz, u, s, PU, PT, aux["uw_combo"], aux["sign_u"],
+                aux["sign_t"], r._pg_u[3], r.block, False)
+            return (u + 1e-30 * out[: d.dim * d.npp],
+                    s + 1e-30 * out[d.dim * d.npp :])
+
+        def x4(f):
+            return lambda c, a: f(f(f(f(c, a), a), a), a)
+
+        rows["rhs4"] = _timed_scan(x4(rhs1), (ulm, slm), (), steps)
+        rows["g4"] = _timed_scan(x4(g1), (ulm, slm), (), steps)
+        rows["k4"] = _timed_scan(x4(k1), (ulm, slm), (), steps)
     else:
         from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
         from ..solver.lane_major import LaneMajorRunner

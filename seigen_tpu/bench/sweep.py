@@ -17,7 +17,7 @@ import time
 
 def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
               impl="auto", scramble=False, vti=False, overlap=True,
-              fill_mode="auto"):
+              fill_mode="auto", block=None):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,7 @@ def run_sweep(dim, degrees, sizes, n_steps, order, dtype_name, out_path=None,
                     res = measure(p, src, damp, dt, state0,
                                   n_steps=n_steps, order=order, impl=impl,
                                   dm=dm, vti=vti, overlap=overlap,
-                                  fill_mode=fill_mode)
+                                  fill_mode=fill_mode, block=block)
             row = {
                 "dim": dim,
                 "degree": degree,
@@ -99,6 +99,9 @@ def main():
                     choices=["auto", "off", "ppermute", "local", "skip"],
                     help="fused_sharded halo-fill strategy (1-shard "
                          "split probes; see ShardedFusedRunner)")
+    ap.add_argument("--block", type=int, default=None,
+                    help="lane-block override for the merged runners "
+                         "(block-size probes)")
     ap.add_argument("--vti", action="store_true",
                     help="per-element VTI Voigt stiffness through the "
                          "runner's anisotropic Hooke path")
@@ -123,6 +126,7 @@ def main():
         vti=args.vti,
         overlap=not args.no_overlap,
         fill_mode=args.fill_mode,
+        block=args.block,
     )
     return 0
 

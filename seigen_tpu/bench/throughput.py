@@ -102,6 +102,7 @@ def measure(
     p, src, damp, dt, state0, n_steps: int = 50, order: int = 4,
     warmup: bool = True, impl: str = "einsum", dm=None,
     vti: bool = False, overlap: bool = True, fill_mode: str = "auto",
+    block: int | None = None,
 ) -> BenchResult:
     """impl: einsum | xla_roll | pallas | pallas_roll (roll variants need
     the DiscreteMesh ``dm`` for structure detection) | lane/fused/merged/
@@ -260,7 +261,8 @@ def measure(
             # split is measurable
             runner = MergedLaneRunner(p, ex, dt, order=order, src=src,
                                       damp=damp, stiffness=stiffness,
-                                      packed=(impl == "merged_pk"))
+                                      packed=(impl == "merged_pk"),
+                                      block=block)
         elif impl == "lane":
             from ..solver.lane_major import LaneMajorRunner
 
