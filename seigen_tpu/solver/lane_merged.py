@@ -131,7 +131,15 @@ class MergedLaneRunner:
         from ..ops.merged_kernels import (
             BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
 
-        bx = choose_block(NC) if block is None else block
+        if block is not None:
+            bx = block
+        elif packed:
+            # packed halves the lane count, shifting the measured-best
+            # block up: P1 E=196k packed 1024 -> 2.945e9 vs 768 -> 2.753e9
+            # (BENCH_NOTES round-4 P1 section)
+            bx = choose_block(NC, prefer=(1024, 1536, 768, 512, 384, 256))
+        else:
+            bx = choose_block(NC)
         while True:
             plan = build_merged_plan(ex, d, bx, pay=pay,
                                      n_par=self.n_par)
