@@ -146,7 +146,8 @@ def main():
     # point it at the host-fingerprinted cache, not the shared TPU cache
     # (a stale CPU AOT entry there can SIGILL the whole driver —
     # ADVICE.md round 3).
-    cache = "/root/repo/.jax_cache" if backend != "cpu" else _cpu_cache_dir()
+    cache = (os.path.join(_REPO, ".jax_cache") if backend != "cpu"
+             else _cpu_cache_dir())
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

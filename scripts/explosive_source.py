@@ -211,8 +211,13 @@ def main():
         if args.vti:
             if dim != 3:
                 raise SystemExit("--vti needs a 3D run")
-            if args.scheme != "lf" or args.shards:
-                raise SystemExit("--vti supports single-chip --scheme lf")
+            if args.scheme != "lf":
+                raise SystemExit("--vti supports --scheme lf")
+            if args.shards and args.dist_impl not in ("auto", "fused"):
+                # the per-element Voigt-C block rides the slab-sharded geo
+                # stream of the fused/merged DD pipeline only
+                raise SystemExit("--vti with --shards rides --dist-impl "
+                                 "fused (or auto)")
             from seigen_tpu.ops.anisotropic import vti_stiffness
 
             eps_, del_, gam_ = (float(x) for x in args.vti.split(","))
@@ -320,11 +325,19 @@ def main():
                 try:
                     runner = ShardedFusedRunner(
                         p, ex, dt, args.shards, order=args.order, src=src,
-                        damp=damp, receivers=rcv, interpret=interp)
+                        damp=damp, receivers=rcv, interpret=interp,
+                        stiffness=aniso_C)
                     dist_name = "fused"
                 except ValueError:
                     if args.dist_impl == "fused":
                         raise
+            if runner is None and aniso_C is not None:
+                # refuse rather than silently run isotropic physics:
+                # only the fused DD pipeline applies the Voigt-C block
+                raise SystemExit(
+                    "--vti with --shards needs the fused DD pipeline "
+                    f"(mesh grid={None if ex is None else ex.grid}, "
+                    f"shards={args.shards})")
             if runner is None and eligible and args.dist_impl in (
                     "auto", "lane"):
                 from seigen_tpu.parallel.lane_sharded import (

@@ -174,3 +174,30 @@ def test_sharded_fused_resume_equivalence():
     b2, _ = r.run(b1, 2, step0=2)
     np.testing.assert_allclose(np.asarray(a.u), np.asarray(b2.u),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_fused_vti_invariance():
+    """VTI (full Voigt-C Hooke) on the DD axis: the per-element stiffness
+    block rides the slab-sharded geo stream, so the sharded merged
+    pipeline must reproduce the single-chip anisotropic runner — closes
+    the physics x parallelism matrix cell the round-3 verdict noted as
+    single-chip only."""
+    from seigen_tpu.ops.anisotropic import vti_stiffness
+
+    dm, p, ex, dt, st, src, rcv, damp = _case()
+    C = np.broadcast_to(
+        vti_stiffness(2.0, 1.0, 1.0, epsilon=0.15, delta=0.05, gamma=0.1),
+        (dm.num_elements, 6, 6))
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True,
+                           stiffness=C)
+    refo, seis_ref = ref.run(st, 3)
+    r = ShardedFusedRunner(p, ex, dt, 2, order=4, src=src, damp=damp,
+                           receivers=rcv, block=8, interpret=True,
+                           stiffness=C)
+    out, seis = r.run(st, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(seis, seis_ref, rtol=2e-4, atol=2e-5)
