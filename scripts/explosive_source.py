@@ -326,7 +326,7 @@ def main():
                     runner = ShardedFusedRunner(
                         p, ex, dt, args.shards, order=args.order, src=src,
                         damp=damp, receivers=rcv, interpret=interp,
-                        stiffness=aniso_C)
+                        stiffness=aniso_C, packed="auto")
                     dist_name = "fused"
                 except ValueError:
                     if args.dist_impl == "fused":

@@ -170,8 +170,9 @@ def measure(
             n_steps=n_steps, seconds=dt_wall,
         )
     if impl in ("lane", "fused", "merged", "merged_pk", "lane_u",
-                "lane_u_sharded", "lane_sharded", "fused_sharded"):
-        if impl == "fused_sharded":
+                "lane_u_sharded", "lane_sharded", "fused_sharded",
+                "fused_sharded_pk"):
+        if impl in ("fused_sharded", "fused_sharded_pk"):
             # v3 multi-chip pipeline (config 5): merged kernels + compact
             # trace-plane ppermute; at one local device this is the 1-shard
             # hardware validation, on a pod the strong-scaling measurement
@@ -187,7 +188,8 @@ def measure(
             runner = ShardedFusedRunner(p, ex, dt, n_shards, order=order,
                                         src=src, damp=damp,
                                         overlap=overlap,
-                                        fill_mode=fill_mode)
+                                        fill_mode=fill_mode,
+                                        packed=(impl == "fused_sharded_pk"))
         elif impl == "lane_sharded":
             # production config-5 pipeline through the bench surface; with
             # one local device this is the 1-shard hardware validation of

@@ -151,6 +151,17 @@ class DomainDecomposedFwi:
         if "rcv_elems" in aux:
             aux_specs["rcv_elems"] = P(AXIS)
             aux_specs["rcv_w"] = P(AXIS)
+            # normalize weights to npp tile rows: the fused forward
+            # runner already expands them (parity sections), the lane/
+            # unstructured runners hand over n_p node weights — pad with
+            # zeros so the sampler can run one full-tile einsum (dead
+            # state rows are exactly 0)
+            w = aux["rcv_w"]
+            if w.shape[-1] < npp:
+                aux = dict(
+                    aux,
+                    rcv_w=jnp.pad(
+                        w, ((0, 0), (0, 0), (0, npp - w.shape[-1]))))
         src_specs = {k: P(AXIS) for k in src_k}
 
         n, seg = self.n_steps, self.segment
@@ -198,7 +209,9 @@ class DomainDecomposedFwi:
                 carry = lf(carry[0], carry[1],
                            k.astype(self.dtype) * self.dt)
                 g = carry[0][:, aux_l["rcv_elems"]]
-                g3 = g.reshape(dim, npp, -1)[:, :n_p]
+                # rcv_w is tile-row expanded to npp by the forward
+                # runner's _pack_receivers (dead state rows are 0)
+                g3 = g.reshape(dim, npp, -1)
                 part = jnp.einsum("ri,cir->rc", aux_l["rcv_w"], g3)
                 return carry, jax.lax.psum(part, AXIS)
 

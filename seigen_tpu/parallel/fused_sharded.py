@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.elastic import voigt_map
-from ..ops.fused_kernels import build_fused_data
+from ..ops.fused_kernels import build_fused_data, build_packed_fused_data
 from ..ops.merged_kernels import (
     build_merged_plan,
     choose_block,
@@ -67,6 +67,7 @@ class ShardedFusedRunner:
         stiffness=None,
         overlap: bool = True,
         fill_mode: str = "auto",
+        packed: bool | str = False,
     ):
         """fill_mode — the halo-fill strategy (round-4 1-shard split):
 
@@ -84,6 +85,17 @@ class ShardedFusedRunner:
         - ``skip``: halo layout reserved but never filled (exact at 1
           shard: every halo-lane consumer is boundary-masked there) —
           prices the slice+concat+set data movement of the fill.
+
+        packed — the P1 two-elements-per-lane layout on the sharded
+        path (``'auto'``: on for isotropic P1 with an even class count,
+        mirroring MergedLaneRunner).  Classes (2u, 2u+1) of the SAME
+        shard-local supercell pair onto sublane parities of packed class
+        u, so lanes stay supercells, the slab decomposition and the
+        window/shift math are untouched, and the halo fill ships the
+        same supercell trace planes — just at per-parity rtq-row-block
+        granularity instead of whole rtf face blocks.  Forward only,
+        like the single-chip packed engine (the DD gradient engine
+        stays unpacked).
         """
         if order != 4:
             raise ValueError("ShardedFusedRunner is LF4-only")
@@ -116,15 +128,51 @@ class ShardedFusedRunner:
         self.E = E
         self.m = ex.m
 
+        if packed == "auto":
+            packed = (p.n_p <= 4 and p.n_faces <= 4 and stiffness is None
+                      and ex.m % 2 == 0)
+        if packed:
+            if stiffness is not None:
+                raise ValueError("packed layout is isotropic-only")
+            if ex.m % 2:
+                raise ValueError("packed layout needs an even class count")
+        self.n_par = 2 if packed else 1
+        self.mq = self.m // self.n_par  # packed class count
+
+        # element permutation first: the packed data builder needs the
+        # per-parity old-element lists in dense-new (shard, u, cell) order
+        old_of_new, new_of_old = self._compute_perm(ex, E)
+        self._old_of_new, self._new_of_old = old_of_new, new_of_old
+
         damp_arr = None if damp is None else np.asarray(damp)
-        d = build_fused_data(p, stiffness=stiffness)
+        if packed:
+            idx = np.arange(E).reshape(self.P * self.m, self.NCloc)
+            rows0 = [p_ * self.m + 2 * u
+                     for p_ in range(n_shards) for u in range(self.mq)]
+            rows1 = [r + 1 for r in rows0]
+            pair0 = old_of_new[idx[rows0].reshape(-1)]
+            pair1 = old_of_new[idx[rows1].reshape(-1)]
+            self._pairs_old = (pair0, pair1)
+            d = build_packed_fused_data(p, pair0, pair1, damp=damp_arr)
+        else:
+            self._pairs_old = (old_of_new,)
+            d = build_fused_data(p, stiffness=stiffness)
         from ..ops.merged_kernels import (
             BLOCK_LADDER, VMEM_BLOCK_BUDGET, vmem_block_rows)
 
         halo = fill_mode != "off"
-        bx = choose_block(self.NCloc) if block is None else block
+        if block is not None:
+            bx = block
+        elif packed:
+            # packed halves the lane count, shifting the measured-best
+            # block up (see MergedLaneRunner._setup_core)
+            bx = choose_block(
+                self.NCloc, prefer=(1024, 1536, 768, 512, 384, 256))
+        else:
+            bx = choose_block(self.NCloc)
         while True:
-            plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=halo)
+            plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=halo,
+                                     n_par=self.n_par)
             if plan is None:
                 raise ValueError("mesh does not satisfy the merged-kernel "
                                  "constraints (see build_merged_plan)")
@@ -135,6 +183,8 @@ class ShardedFusedRunner:
             bx = max(b for b in BLOCK_LADDER if b < bx)
         self.block = bx
         self.plan = plan
+        self._hp = d.npp // self.n_par  # parity row offset in state tiles
+        self._ftq = d.ftp // self.n_par  # per-parity face-trace rows
 
         # compute/communication overlap (BENCH_NOTES strong-scaling
         # headroom item 2): split each operator into interior lane blocks
@@ -162,56 +212,67 @@ class ShardedFusedRunner:
         # in BENCH_NOTES.md.
         from ..solver.lane_fused import _canonical_shift, derive_pairing
 
+        # crossing groups at rtq-row-block granularity: block index
+        # g = f2*n_par + producer_parity (= f2 unpacked, where rtq == rtf)
         f2x, _ = derive_pairing(ex)
         gl, gr = set(), set()
         for t in range(ex.m):
             for f in range(ex.n_faces):
                 off = _canonical_shift(ex, t, f)
+                blk = (int(f2x[t, f]) * self.n_par
+                       + int(ex.nbr_class[t, f]) % self.n_par)
                 if off[0] < 0:
-                    gl.add(int(f2x[t, f]))
+                    gl.add(blk)
                 elif off[0] > 0:
-                    gr.add(int(f2x[t, f]))
+                    gr.add(blk)
         self._halo_g = (tuple(sorted(gl)), tuple(sorted(gr)))
 
         devices = (
             devices if devices is not None else jax.devices()[:n_shards])
         self.mesh = Mesh(np.array(devices), (AXIS,))
 
-        # --- element -> lane maps (shard-major, per-class padded) ---
-        old_of_new, new_of_old = self._compute_perm(ex, E)
-        self._old_of_new, self._new_of_old = old_of_new, new_of_old
         # old_of_new is indexed by the DENSE new order (shard, cls, cell);
-        # lane placement adds the per-class padding on top
+        # lane placement adds the per-class padding on top (packed: the
+        # pair (2u, 2u+1) shares the lane of packed class u)
         self.Ls = n_shards * plan.Ls  # global state lanes
         self.Lt = n_shards * plan.Lt  # global trace lanes
 
         import dataclasses as _dc
 
-        geo = self._place(np.asarray(d.geo)[:, old_of_new])
+        # packed d.geo/d.damp columns are already pair-ordered (the pair
+        # lists above compose old_of_new); unpacked needs the perm
+        geo_cols = (np.asarray(d.geo) if packed
+                    else np.asarray(d.geo)[:, old_of_new])
+        geo = self._place(geo_cols)
         dmp = None
         if damp_arr is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float64)
-            dn[: d.n_p] = damp_arr[old_of_new].T
-            dmp = jnp.asarray(self._place(dn), self.dtype)
+            if packed:
+                dn = self._place(np.asarray(d.damp))
+            else:
+                dn = np.zeros((d.npp, E), dtype=np.float64)
+                dn[: d.n_p] = damp_arr[old_of_new].T
+                dn = self._place(dn)
+            dmp = jnp.asarray(dn, self.dtype)
         self.d = d = _dc.replace(
             d, geo=jnp.asarray(geo, self.dtype), damp=dmp)
 
-        # boundary mask lanes (8, Ls) — slab slice per shard; dead lanes = 1
+        # boundary mask lanes (8, Ls) — slab slice per shard; dead
+        # lanes = 1; packed: row par*4 + f of packed class t // 2
         mk = np.ones((8, self.Ls), dtype=np.float64)
         for t in range(ex.m):
+            u, par = divmod(t, self.n_par)
             for f in range(ex.n_faces):
                 mg = ex.self_mask[t, f].reshape(G0, self.Grest)
                 for p_ in range(n_shards):
                     sl = mg[p_ * self.G0loc : (p_ + 1) * self.G0loc]
-                    base = p_ * plan.Ls + t * plan.NCs
-                    mk[f, base : base + self.NCloc] = sl.reshape(-1)
+                    base = p_ * plan.Ls + u * plan.NCs
+                    mk[par * 4 + f, base : base + self.NCloc] = (
+                        sl.reshape(-1))
         self.mask = jnp.asarray(mk, self.dtype)
 
         if damp_arr is not None:
-            dn = np.zeros((d.npp, E), dtype=np.float64)
-            dn[: d.n_p] = damp_arr[old_of_new].T
-            dn = self._place(dn)
-            self.damp_u = jnp.asarray(np.tile(dn, (d.dim, 1)), self.dtype)
+            self.damp_u = jnp.asarray(
+                np.tile(np.asarray(dmp), (d.dim, 1)), self.dtype)
         else:
             self.damp_u = None
 
@@ -221,16 +282,22 @@ class ShardedFusedRunner:
             if receivers is not None else None
         )
 
-        # normals for the traction-trace seed (state lanes)
-        nrm = np.asarray(p.normals)[old_of_new]
+        # normals for the traction-trace seed (state lanes; packed:
+        # parity row sections par*ftq + f*n_fp + k)
+        nrm_all = np.asarray(p.normals)
         rep = np.repeat(np.arange(d.nf), d.n_fp)
+        ftq = self._ftq
         nrm_exp = np.zeros((d.dim, d.ftpp, self.Ls), dtype=np.float64)
-        for dd in range(d.dim):
-            nrm_exp[dd, : d.ftp] = self._place(nrm[:, rep, dd].T)
+        for par, pe in enumerate(self._pairs_old):
+            sec = nrm_all[pe]  # (B, nf, dim) dense-new (shard, u, cell)
+            for dd in range(d.dim):
+                nrm_exp[dd, par * ftq : par * ftq + ftq] = self._place(
+                    sec[:, rep, dd].T)
         self._nrm_exp = jnp.asarray(nrm_exp, self.dtype)
         rmat = np.zeros((d.ftpp, d.npp), dtype=np.float64)
         fn = np.array(p.fnodes).reshape(-1)
-        rmat[np.arange(d.ftp), fn] = 1.0
+        for par in range(self.n_par):
+            rmat[par * ftq + np.arange(ftq), par * self._hp + fn] = 1.0
         self._rmat = jnp.asarray(rmat, self.dtype)
 
     # --- layout -------------------------------------------------------
@@ -265,22 +332,30 @@ class ShardedFusedRunner:
         return old_of_new, new_of_old
 
     def _lane(self, e_new, trace=False):
-        """dense new element index -> (padded) state/trace lane."""
+        """dense new element index -> (padded) state/trace lane
+        (packed: the lane of the element's class pair)."""
         plan = self.plan
         cell = e_new % self.NCloc
         sc = e_new // self.NCloc  # shard*m + cls
         shard, cls = sc // self.m, sc % self.m
+        u = cls // self.n_par
         if trace:
-            return shard * plan.Lt + cls * plan.NCt + plan.h0 + cell
-        return shard * plan.Ls + cls * plan.NCs + cell
+            return shard * plan.Lt + u * plan.NCt + plan.h0 + cell
+        return shard * plan.Ls + u * plan.NCs + cell
+
+    def _epar(self, e_new):
+        """dense new element index -> parity within its lane pair."""
+        return (e_new // self.NCloc) % self.m % self.n_par
 
     def _place(self, arr):
-        """np (rows, E) dense-new-order -> (rows, Ls) padded lanes."""
+        """np (rows, B) dense-new-order -> (rows, Ls) padded lanes.
+        B = P*mq*NCloc columns in (shard, packed class, cell) order
+        (unpacked: mq = m, the plain dense order)."""
         plan = self.plan
         out = np.zeros((arr.shape[0], self.Ls), arr.dtype)
         for p_ in range(self.P):
-            for t in range(self.m):
-                src0 = (p_ * self.m + t) * self.NCloc
+            for t in range(self.mq):
+                src0 = (p_ * self.mq + t) * self.NCloc
                 dst0 = p_ * plan.Ls + t * plan.NCs
                 out[:, dst0 : dst0 + self.NCloc] = (
                     arr[:, src0 : src0 + self.NCloc])
@@ -288,17 +363,29 @@ class ShardedFusedRunner:
 
     # --- sources / receivers ------------------------------------------
     def _lane_source_vecs(self, src):
-        """(dim*npp, K) / (n_sig*npp, K) lane-major source vectors."""
+        """(dim*npp, K) / (n_sig*npp, K) lane-major source vectors
+        (packed: each column on its element's parity row section)."""
         d = self.d
         K = src.elems.shape[0]
+        par_k = np.asarray(
+            self._epar(self._new_of_old[np.asarray(src.elems)]))
+        hp = self._hp
         vu = np.zeros((d.dim * d.npp, K), dtype=np.float64)
         vs = np.zeros((d.n_sig * d.npp, K), dtype=np.float64)
-        for c in range(d.dim):
-            vu[c * d.npp : c * d.npp + d.n_p] = np.asarray(
-                src.vec_u[:, :, c]).T
-        for c in range(d.n_sig):
-            vs[c * d.npp : c * d.npp + d.n_p] = np.asarray(
-                src.vec_s[:, :, c]).T
+        vec_u = np.asarray(src.vec_u)
+        vec_s = np.asarray(src.vec_s)
+        for par in range(self.n_par):
+            kk = np.where(par_k == par)[0]
+            if not kk.size:
+                continue
+            for c in range(d.dim):
+                vu[c * d.npp + par * hp
+                   : c * d.npp + par * hp + d.n_p][:, kk] = (
+                    vec_u[kk][:, :, c].T)
+            for c in range(d.n_sig):
+                vs[c * d.npp + par * hp
+                   : c * d.npp + par * hp + d.n_p][:, kk] = (
+                    vec_s[kk][:, :, c].T)
         return vu, vs
 
     def _pack_state_sources(self, src):
@@ -356,20 +443,26 @@ class ShardedFusedRunner:
         elems_old = np.asarray(src.elems)
         vec_u = np.asarray(src.vec_u)
         vec_s = np.asarray(src.vec_s)
-        # face-major trace patches, rows f*rtf + c*n_fp + k
-        rtf = self.plan.rtf
+        # face-major trace patches, rows f*rtf + par*rtq + c*n_fp + k
+        rtf, rtq = self.plan.rtf, self.plan.rtq
+        e_new = new_of_old[elems_old]
+        par_k = np.asarray(self._epar(e_new))
         tru = np.zeros((d.nf * rtf, K), dtype=np.float64)
         trt = np.zeros((d.nf * rtf, K), dtype=np.float64)
-        for c in range(d.dim):
-            for f in range(d.nf):
-                rows = f * rtf + c * d.n_fp + np.arange(d.n_fp)
-                tru[rows] = vec_u[:, fnodes[f], c].T
-                acc = np.zeros((K, d.n_fp))
-                for dd in range(d.dim):
-                    acc += (normals[elems_old, f, dd][:, None]
-                            * vec_s[:, fnodes[f], V[c, dd]])
-                trt[rows] = acc.T
-        e_new = new_of_old[elems_old]
+        for par in range(self.n_par):
+            kk = np.where(par_k == par)[0]
+            if not kk.size:
+                continue
+            for c in range(d.dim):
+                for f in range(d.nf):
+                    rows = (f * rtf + par * rtq + c * d.n_fp
+                            + np.arange(d.n_fp))
+                    tru[np.ix_(rows, kk)] = vec_u[kk][:, fnodes[f], c].T
+                    acc = np.zeros((kk.size, d.n_fp))
+                    for dd in range(d.dim):
+                        acc += (normals[elems_old[kk], f, dd][:, None]
+                                * vec_s[kk][:, fnodes[f], V[c, dd]])
+                    trt[np.ix_(rows, kk)] = acc.T
         shard = e_new // (self.m * self.NCloc)
         tl = self._lane(e_new, trace=True) - shard * self.plan.Lt
         # trace-lane packing fills per-shard columns in the SAME
@@ -423,13 +516,22 @@ class ShardedFusedRunner:
         e_new = new_of_old[np.asarray(rcv.elems)]
         shard = e_new // (self.m * self.NCloc)
         local = self._lane(e_new) - shard * self.plan.Ls
+        par_r = np.asarray(self._epar(e_new))
         R = len(e_new)
+        d = self.d
+        # node weights expanded to the npp tile rows at each receiver
+        # element's parity section (dead state rows are exactly 0, so
+        # the full-tile einsum in the sampler is exact)
+        w = np.asarray(rcv.weights)
+        w8 = np.zeros((R, d.npp), dtype=np.float64)
+        for par in range(self.n_par):
+            kk = par_r == par
+            w8[kk, par * self._hp : par * self._hp + d.n_p] = w[kk]
         elems_sh = np.zeros((self.P, R), dtype=np.int32)
-        w_sh = np.zeros((self.P, R, np.asarray(rcv.weights).shape[1]),
-                        np.float64)
+        w_sh = np.zeros((self.P, R, d.npp), np.float64)
         for r in range(R):
             elems_sh[shard[r], r] = local[r]
-            w_sh[shard[r], r] = np.asarray(rcv.weights)[r]
+            w_sh[shard[r], r] = w8[r]
         return dict(elems=jnp.asarray(elems_sh),
                     w=jnp.asarray(w_sh, self.dtype))
 
@@ -445,34 +547,36 @@ class ShardedFusedRunner:
         1-shard probe pricing the ppermute itself)."""
         if self.fill_mode in ("off", "skip"):
             return tr_loc
-        plan, Grest, rtf = self.plan, self.Grest, self.plan.rtf
+        # row granularity is the rtq window block (g = f2*n_par + parity;
+        # unpacked rtq == rtf, whole face blocks)
+        plan, Grest, rtq = self.plan, self.Grest, self.plan.rtq
         perm = (jax.lax.ppermute if self.fill_mode == "ppermute"
                 else lambda x, *_: x)
         rows = tr_loc.shape[0]
-        v = tr_loc.reshape(rows, self.m, plan.NCt)
+        v = tr_loc.reshape(rows, self.mq, plan.NCt)
         h0, NCloc = plan.h0, self.NCloc
         gl, gr = self._halo_g
         fwd = [(i, (i - 1) % self.P) for i in range(self.P)]
         bwd = [(i, (i + 1) % self.P) for i in range(self.P)]
         if gr:  # shard p+1's first plane -> my right halo
             first = jnp.concatenate(
-                [v[g * rtf : (g + 1) * rtf, :, h0 : h0 + Grest]
+                [v[g * rtq : (g + 1) * rtq, :, h0 : h0 + Grest]
                  for g in gr], 0)
             right = perm(first, AXIS, fwd)
             for k, g in enumerate(gr):
-                v = v.at[g * rtf : (g + 1) * rtf, :,
+                v = v.at[g * rtq : (g + 1) * rtq, :,
                          h0 + NCloc : h0 + NCloc + Grest].set(
-                    right[k * rtf : (k + 1) * rtf])
+                    right[k * rtq : (k + 1) * rtq])
         if gl:  # shard p-1's last plane -> my left halo
             last = jnp.concatenate(
-                [v[g * rtf : (g + 1) * rtf, :,
+                [v[g * rtq : (g + 1) * rtq, :,
                    h0 + NCloc - Grest : h0 + NCloc] for g in gl], 0)
             left = perm(last, AXIS, bwd)
             for k, g in enumerate(gl):
-                v = v.at[g * rtf : (g + 1) * rtf, :,
+                v = v.at[g * rtq : (g + 1) * rtq, :,
                          h0 - Grest : h0].set(
-                    left[k * rtf : (k + 1) * rtf])
-        return v.reshape(rows, self.m * plan.NCt)
+                    left[k * rtq : (k + 1) * rtq])
+        return v.reshape(rows, self.mq * plan.NCt)
 
     def _inject(self, aux, field, tr, vecs, tr_vecs, t):
         if self.src is None:
@@ -549,16 +653,20 @@ class ShardedFusedRunner:
         for c in range(d.dim):
             t = sum(nrm_exp[dd] * tr_sig[V[c, dd]] for dd in range(d.dim))
             rows.append(t)  # (ftpp, Ls_loc) per component
-        nfp, pad = d.n_fp, plan.rtf - d.dim * d.n_fp
+        nfp, pad = d.n_fp, plan.rtq - d.dim * d.n_fp
+        ftq = self._ftq
         blocks = []
         for f in range(plan.nf):
-            blocks += [rows[c][f * nfp : (f + 1) * nfp]
-                       for c in range(d.dim)]
-            if pad:
-                blocks.append(jnp.zeros((pad, plan.Ls), rows[0].dtype))
+            for par in range(self.n_par):
+                blocks += [rows[c][par * ftq + f * nfp
+                                   : par * ftq + (f + 1) * nfp]
+                           for c in range(d.dim)]
+                if pad:
+                    blocks.append(
+                        jnp.zeros((pad, plan.Ls), rows[0].dtype))
         blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
         out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
-        for t in range(self.m):
+        for t in range(self.mq):
             out = jax.lax.dynamic_update_slice(
                 out, blk[:, t * plan.NCs : t * plan.NCs + self.NCloc],
                 (0, t * plan.NCt + plan.h0))
@@ -567,7 +675,9 @@ class ShardedFusedRunner:
     def _field_traces_loc(self, flm, rmat, C):
         """Own-face traces of a shard-local lane-major field in the
         merged trace layout (the u-trace analog of
-        _traction_traces_loc; used by the DD gradient engine)."""
+        _traction_traces_loc; used by the DD gradient engine, which is
+        unpacked-only like the single-chip gradient engines)."""
+        assert self.n_par == 1, "DD gradient engine is unpacked-only"
         d, plan = self.d, self.plan
         rows_c = [rmat @ flm[c * d.npp : (c + 1) * d.npp]
                   for c in range(C)]
@@ -632,7 +742,8 @@ class ShardedFusedRunner:
 
         d_specs = _dc.replace(
             d, drr=P(), lift=P(), erep=P(), geo=P(None, AXIS),
-            damp=None if d.damp is None else P(None, AXIS))
+            damp=None if d.damp is None else P(None, AXIS),
+            gexp=None if d.gexp is None else P())
         aux_specs = self._aux_specs()
 
         def inner(d_g, aux_g, mask_g, nrm_g, rmat_g, ulm, slm, k0, n):
@@ -647,7 +758,9 @@ class ShardedFusedRunner:
                     d_g, aux, mask_g, carry, k.astype(self.dtype) * self.dt)
                 if self.rcv is not None:
                     g = carry[0][:, aux["rcv_elems"]]
-                    g3 = g.reshape(d.dim, d.npp, -1)[:, : d.n_p]
+                    # rcv_w is tile-row expanded (npp rows, parity
+                    # sections when packed; dead rows weigh 0)
+                    g3 = g.reshape(d.dim, d.npp, -1)
                     partial = jnp.einsum("ri,cir->rc", aux["rcv_w"], g3)
                     ys = jax.lax.psum(partial, AXIS)
                 else:
@@ -684,10 +797,12 @@ class ShardedFusedRunner:
             for c in range(C):
                 for p_ in range(self.P):
                     for t in range(self.m):
+                        u, par = divmod(t, self.n_par)
                         src0 = (p_ * self.m + t) * self.NCloc
                         out = jax.lax.dynamic_update_slice(
                             out, xt[c][:, src0 : src0 + self.NCloc],
-                            (c * d.npp, p_ * plan.Ls + t * plan.NCs))
+                            (c * d.npp + par * self._hp,
+                             p_ * plan.Ls + u * plan.NCs))
             return out
 
         return conv(state.u, d.dim), conv(state.s, d.n_sig)
@@ -699,12 +814,15 @@ class ShardedFusedRunner:
         def conv(y, C):
             comps = []
             for c in range(C):
-                blocks = [
-                    y[c * d.npp : c * d.npp + d.n_p,
-                      p_ * plan.Ls + t * plan.NCs
-                      : p_ * plan.Ls + t * plan.NCs + self.NCloc]
-                    for p_ in range(self.P) for t in range(self.m)
-                ]
+                blocks = []
+                for p_ in range(self.P):
+                    for t in range(self.m):
+                        u, par = divmod(t, self.n_par)
+                        r0 = c * d.npp + par * self._hp
+                        blocks.append(
+                            y[r0 : r0 + d.n_p,
+                              p_ * plan.Ls + u * plan.NCs
+                              : p_ * plan.Ls + u * plan.NCs + self.NCloc])
                 comps.append(jnp.concatenate(blocks, axis=1))
             return jnp.stack(comps, axis=0).transpose(2, 1, 0)[inv]
 

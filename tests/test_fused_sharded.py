@@ -201,3 +201,111 @@ def test_sharded_fused_vti_invariance():
     np.testing.assert_allclose(
         np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(seis, seis_ref, rtol=2e-4, atol=2e-5)
+
+
+# --- packed P1 (two-elements-per-lane) layout on the sharded path -------
+
+from seigen_tpu.mesh import rect_mesh  # noqa: E402
+
+
+def _case_p1(dim, n0=4):
+    """P1 full-feature config (mixed BCs, source, receivers, sponge)."""
+    if dim == 3:
+        ext = ((0.0, 1.0),) * 3
+        dm = build_discrete(
+            box_mesh(n0, 3, 3), 1,
+            bc_fn=absorbing_bc_fn(ext, free_sides=[(2, "hi")]))
+        src = build_sources(
+            dm, [PointSource(position=(0.5, 0.5, 0.7), f0=4.0,
+                             radius=0.25)], dtype=jnp.float32)
+        rcv = build_receivers(
+            dm, line((0.2, 0.5, 0.9), (0.8, 0.5, 0.9), 3),
+            dtype=jnp.float32)
+        damp = jnp.asarray(
+            sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi"),
+                             (2, "lo")], width=0.3), jnp.float32)
+    else:
+        ext = ((0.0, 1.0),) * 2
+        dm = build_discrete(
+            rect_mesh(2 * n0, n0),  # supercell grid (n0, n0//2)
+            1, bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
+        src = build_sources(
+            dm, [PointSource(position=(0.5, 0.6), f0=4.0, radius=0.2)],
+            dtype=jnp.float32)
+        rcv = build_receivers(dm, line((0.2, 0.9), (0.8, 0.9), 3),
+                              dtype=jnp.float32)
+        damp = jnp.asarray(
+            sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.3),
+            jnp.float32)
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    ex = detect_structured(dm)
+    assert ex is not None and ex.m % 2 == 0
+    dt = cfl_dt(dm.h.min(), 2.0, 1, 0.4)
+    E, n_p = dm.num_elements, dm.re.n_p
+    n_sig = 3 if dim == 2 else 6
+    rng = np.random.default_rng(7)
+    st = State(
+        u=jnp.asarray(rng.standard_normal((E, n_p, dim)) * 0.01,
+                      jnp.float32),
+        s=jnp.asarray(rng.standard_normal((E, n_p, n_sig)) * 0.01,
+                      jnp.float32),
+    )
+    return dm, p, ex, dt, st, src, rcv, damp
+
+
+@pytest.mark.parametrize("dim,n_shards", [(3, 2), (3, 4), (2, 2)])
+def test_sharded_packed_invariance(dim, n_shards):
+    """Packed sharded == packed single-chip merged runner (itself
+    equivalence-chained to the unpacked engines, tests/test_packed.py)
+    with the full production feature set, including the per-parity
+    rtq-row-block halo ppermute."""
+    dm, p, ex, dt, st, src, rcv, damp = _case_p1(dim)
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True,
+                           packed=True)
+    refo, seis_ref = ref.run(st, 3)
+    r = ShardedFusedRunner(p, ex, dt, n_shards, order=4, src=src,
+                           damp=damp, receivers=rcv, block=8,
+                           interpret=True, packed=True)
+    assert r.n_par == 2 and r.plan.n_par == 2 and r.mq == ex.m // 2
+    out, seis = r.run(st, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(seis, seis_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_packed_slab_width_1():
+    """8 packed shards on a G0=8 grid (one supercell plane per slab):
+    every axis-0 window read crosses a shard boundary through the
+    per-parity halo blocks."""
+    dm, p, ex, dt, st, src, rcv, damp = _case_p1(3, n0=8)
+    ref = MergedLaneRunner(p, ex, dt, order=4, src=src, damp=damp,
+                           receivers=rcv, block=9, interpret=True,
+                           packed=True)
+    refo, _ = ref.run(st, 2)
+    r = ShardedFusedRunner(p, ex, dt, 8, order=4, src=src, damp=damp,
+                           receivers=rcv, block=8, interpret=True,
+                           packed=True)
+    out, _ = r.run(st, 2)
+    np.testing.assert_allclose(
+        np.asarray(out.u), np.asarray(refo.u), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.s), np.asarray(refo.s), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_packed_auto_rule():
+    """packed='auto' mirrors the single-chip rule: on for isotropic P1
+    with an even class count, off above P1."""
+    dm, p, ex, dt, st, src, rcv, damp = _case_p1(3)
+    r = ShardedFusedRunner(p, ex, dt, 2, order=4, interpret=True,
+                           block=8, packed="auto")
+    assert r.n_par == 2
+    dm2 = build_discrete(box_mesh(4, 3, 3), 2)
+    p2 = build_params(dm2, MAT, dtype=jnp.float32)
+    ex2 = detect_structured(dm2)
+    r2 = ShardedFusedRunner(p2, ex2, cfl_dt(dm2.h.min(), 2.0, 2, 0.4), 2,
+                            order=4, interpret=True, block=8,
+                            packed="auto")
+    assert r2.n_par == 1
