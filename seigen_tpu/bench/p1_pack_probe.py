@@ -290,3 +290,51 @@ if __name__ == "__main__":
     import sys
 
     main(*(int(a) for a in sys.argv[1:]))
+
+
+def pad_trim_probe():
+    """Plan-level probe of the parity-shared 24-row face block (the
+    named next P1 packed rung): for each packed consumer class, group
+    its window slots by (producer face, producer packed class, lane
+    offset) ignoring producer parity, and count groups read by BOTH
+    parities — only those would amortize a shared block.  Measured
+    result (BENCH_NOTES round-4 'P1 packed pad-trim: NEGATIVE'): zero
+    shared groups in 2D and 3D, so the shared block would cut trace
+    writes 25% but widen every windowed read 16->24 rows.  Host-only.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..mesh import box_mesh, build_discrete, rect_mesh
+    from ..ops import Material, build_params
+    from ..ops.fused_kernels import build_packed_fused_data
+    from ..ops.merged_kernels import build_merged_plan
+    from ..ops.structured_exchange import detect_structured
+
+    mat = Material(rho=1.0, vp=2.0, vs=1.0)
+    out = {}
+    for name, topo in (("3d", box_mesh(4, 4, 4)),
+                       ("2d", rect_mesh(16, 16))):
+        dm = build_discrete(topo, 1)
+        p = build_params(dm, mat, dtype=jnp.float32)
+        ex = detect_structured(dm)
+        E = dm.num_elements
+        NC = int(np.prod(ex.grid))
+        idx = np.arange(E).reshape(ex.m, NC)
+        d = build_packed_fused_data(
+            p, idx[0::2].reshape(-1), idx[1::2].reshape(-1))
+        plan = build_merged_plan(ex, d, 256, n_par=2)
+        groups, shared = 0, 0
+        for u in range(plan.m):
+            seen = {}
+            for (g, u2, o) in plan.slots[u]:
+                seen.setdefault((g // 2, u2, o), []).append(g % 2)
+            for pars in seen.values():
+                groups += 1
+                shared += len(set(pars)) == 2
+        out[name] = (groups, shared)
+        print(f"{name}: {groups} (face,u2,o) window groups, "
+              f"{shared} read by both parities")
+    return out
