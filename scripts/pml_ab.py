@@ -17,7 +17,10 @@ Output: ONE JSON line {pml_ms, base_ms, merged_ms, E, n, degree}.
 import argparse
 import functools
 import json
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _timed_scan(fn, carry, n, reps=3):
