@@ -81,8 +81,10 @@ def itemize(n=24, degree=3, dim=3, src=True, damp=True, packed=False):
     ops["stress_axpy"] = (lane(C_u) + geo_mask + win + 2 * lane(C_s)
                           + (lane(d.npp) if damp else 0) + lane(C_s)
                           + trace_w + tbl)
-    # end-of-step u damp (XLA elementwise): read u + damp_u, write u
-    ops["damp_u"] = 3 * lane(C_u) if damp else 0
+    # end-of-step u damp (XLA elementwise): read u, write u, plus ONE
+    # (npp, Ls) damp row block broadcast across the dim components
+    # (stored untiled since the round-4 lever-2 trim; was 3*lane(C_u))
+    ops["damp_u"] = (2 * lane(C_u) + lane(d.npp)) if damp else 0
 
     total = sum(ops.values())
     return {

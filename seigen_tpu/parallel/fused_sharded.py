@@ -270,11 +270,10 @@ class ShardedFusedRunner:
                         sl.reshape(-1))
         self.mask = jnp.asarray(mk, self.dtype)
 
-        if damp_arr is not None:
-            self.damp_u = jnp.asarray(
-                np.tile(np.asarray(dmp), (d.dim, 1)), self.dtype)
-        else:
-            self.damp_u = None
+        # untiled (npp, Ls): post_u broadcasts across the dim components
+        # (see MergedLaneRunner — saves a third of the post_u traffic)
+        self.damp_u = None if damp_arr is None else jnp.asarray(
+            dmp, self.dtype)
 
         self._build_sources(p, src, new_of_old)
         self.rcv = (
@@ -638,7 +637,9 @@ class ShardedFusedRunner:
             inject_s=lambda f, tr, t_: self._inject(
                 aux, f, tr, aux.get("src_vs"), aux.get("src_trt"), t_),
             post_u=lambda u: (
-                u if self.damp_u is None else u * aux["damp_u"]),
+                u if self.damp_u is None else (
+                    u.reshape(self.d.dim, self.d.npp, -1)
+                    * aux["damp_u"][None]).reshape(u.shape)),
         )
         return lf(carry[0], carry[1], carry[2], t, self.dt)
 

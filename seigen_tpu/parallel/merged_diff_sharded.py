@@ -129,7 +129,12 @@ class ShardedMergedDiffFwi(DomainDecomposedFwi):
         r = self.runner
         aux = {}
         if r.damp_u is not None:
-            aux["damp_u"] = r.damp_u
+            # the forward runner stores damp UNtiled (npp, Ls) and
+            # broadcasts in post_u; dd_diff_base's shared post multiplies
+            # full (C*npp, L) fields, so tile here
+            import jax.numpy as jnp
+
+            aux["damp_u"] = jnp.tile(r.damp_u, (r.d.dim, 1))
             aux["damp_s"] = self._damp_s
         if r.rcv is not None:
             aux["rcv_elems"] = r.rcv["elems"]

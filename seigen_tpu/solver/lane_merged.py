@@ -79,10 +79,14 @@ class MergedLaneRunner:
 
         # XLA damp multiply for u (see FusedLaneRunner: u is damped AFTER
         # its traces feed the sh1 stage); d.damp is already placed in the
-        # runner lane layout by _setup_core (both packed and unpacked)
+        # runner lane layout by _setup_core (both packed and unpacked).
+        # Stored UNtiled (npp, Ls) and broadcast across the dim components
+        # in post_u — reading the pre-tiled (dim*npp, Ls) array cost a
+        # third of the 72 MB/step post_u traffic (roofline lever 2's
+        # cheap half; the full in-kernel fold is measured-deferred, see
+        # BENCH_NOTES round 4 damp-fold note).
         if damp is not None:
-            self.damp_u = jnp.asarray(
-                np.tile(np.asarray(self.d.damp), (d.dim, 1)), self.dtype)
+            self.damp_u = jnp.asarray(np.asarray(self.d.damp), self.dtype)
         else:
             self.damp_u = None
 
@@ -491,7 +495,9 @@ class MergedLaneRunner:
             inject_s=lambda f, tr, t_: self._inject(
                 aux, f, tr, aux.get("src_vs"), aux.get("src_trt"), t_),
             post_u=lambda u: (
-                u if self.damp_u is None else u * aux["damp_u"]),
+                u if self.damp_u is None else (
+                    u.reshape(d.dim, d.npp, -1) * aux["damp_u"][None]
+                ).reshape(u.shape)),
         )
         return lf(ulm, slm, trs, t, self.dt)
 
