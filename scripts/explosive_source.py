@@ -487,7 +487,11 @@ def main():
                 from seigen_tpu.ops.structured_exchange import (
                     detect_structured)
 
-                exch_uw = detect_structured(dm)
+                # an explicit --impl lane_u is binding (drives the
+                # unstructured Godunov runner even on structured meshes);
+                # otherwise structure wins when detected
+                exch_uw = (None if impl == "lane_u"
+                           else detect_structured(dm))
                 if exch_uw is not None:
                     try:
                         from seigen_tpu.solver.lane_upwind import (

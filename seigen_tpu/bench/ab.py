@@ -187,6 +187,22 @@ def run_ab(n=24, degree=3, steps=50, impl="fused"):
         rows["rhs4"] = _timed_scan(x4(rhs1), (ulm, slm), (), steps)
         rows["g4"] = _timed_scan(x4(g1), (ulm, slm), (), steps)
         rows["k4"] = _timed_scan(x4(k1), (ulm, slm), (), steps)
+
+        # full production step, fused RK4 epilogue (default) vs the
+        # XLA-glue stepper (fused_axpy=False) — the r4 reconciliation's
+        # "5.24 ms glue" recovery lever, measured at step level
+        def stepf(r_):
+            def f(c, a):
+                u, s, _ = r_.step_with(d, aux, (c[0], c[1], None), 0.0)
+                return (u, s)
+            return f
+
+        rows["step"] = _timed_scan(stepf(r), (ulm, slm), (), steps)
+        r_glue = UnstructuredUpwindRunner(
+            p, w, dt, src=src, damp=damp, fused_axpy=False,
+            centroids=np.asarray(dm.coords.mean(axis=1)))
+        rows["step_glue"] = _timed_scan(
+            stepf(r_glue), (ulm, slm), (), steps)
     else:
         from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
         from ..solver.lane_major import LaneMajorRunner

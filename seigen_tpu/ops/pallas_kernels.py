@@ -534,14 +534,14 @@ def _stress_kernel_sel_c(dim, n_sig, npp, ftpp, selcfg,
                      out_ref)
 
 
-def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
-                       u_ref, s_ref, pu_ref, pt_ref, combo_ref,
-                       sgu_ref, sgt_ref,
-                       ginv_ref, nrm_ref, fsc_ref, irho_ref,
-                       lam_ref, mu_ref, zpn_ref, zsn_ref, zown_ref,
-                       drr_ref, lift_ref, out_ref):
-    """Coupled Godunov RHS with the (f2, pi)-select fused in-kernel — the
-    unstructured-mesh analog of ops/upwind_kernels._upwind_body (see
+def _upwind_rows_sel(dim, n_sig, npp, ftpp, selcfg,
+                     u_ref, s_ref, pu_ref, pt_ref, combo_ref,
+                     sgu_ref, sgt_ref,
+                     ginv_ref, nrm_ref, fsc_ref, irho_ref,
+                     lam_ref, mu_ref, zpn_ref, zsn_ref, zown_ref,
+                     drr_ref, lift_ref):
+    """Coupled Godunov RHS rows with the (f2, pi)-select fused in-kernel —
+    the unstructured-mesh analog of ops/upwind_kernels._upwind_body (see
     ops/upwind.py for the Riemann formulas).
 
     Plus-side states come from raw lane-take panels: ``pu_ref`` velocity
@@ -551,7 +551,9 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
     opposite normals; boundary self-pairs resolve to the own trace, so
     the sign row IS the ghost coefficient).  Impedance rows: ``zpn/zsn``
     face-node-expanded neighbour impedances, ``zown`` rows 0/1 = own
-    Zp/Zs.  Output: stacked [du (dim*npp); ds (n_sig*npp)] rows."""
+    Zp/Zs.  Returns (du rows, ds rows) as per-component (npp, B) lists —
+    the caller's epilogue decides what to write (raw RHS, or the fused
+    RK4 stage/accumulator axpys)."""
     V = voigt_map(dim)
     # own derivatives + own-face traces (combined matmul per component)
     der_u = [[None] * dim for _ in range(dim)]
@@ -621,6 +623,7 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
 
     # velocity equation: du = (1/rho)(div sigma + LIFT(Fscale (t*-t-)))
     irho = irho_ref[0:1, :]
+    du_rows = []
     for c in range(dim):
         div = None
         for dd in range(dim):
@@ -629,7 +632,7 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
                 term = g * der_s[r][V[c, dd]]
                 div = term if div is None else div + term
         surf = _dot(lift_ref[:], fsc_ref[:] * (t_star[c] - t_own[c]))
-        out_ref[c * npp : (c + 1) * npp, :] = irho * (div + surf)
+        du_rows.append(irho * (div + surf))
 
     # stress equation: ds = Hooke(grad u) + LIFT(Fscale Hooke_f(u*-u-))
     lam = lam_ref[0:1, :]
@@ -664,10 +667,103 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg,
         face.append(mu * (nd[0] * duf[2] + nd[2] * duf[0]))
         face.append(mu * (nd[0] * duf[1] + nd[1] * duf[0]))
 
+    ds_rows = []
     for c in range(n_sig):
         surf = _dot(lift_ref[:], fsc_ref[:] * face[c])
-        out_ref[(dim + c) * npp : (dim + c + 1) * npp, :] = (
-            vol[c] + surf)
+        ds_rows.append(vol[c] + surf)
+    return du_rows, ds_rows
+
+
+def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg, *refs):
+    """Raw-RHS epilogue: out = stacked [du (dim*npp); ds (n_sig*npp)]."""
+    *in_refs, out_ref = refs
+    du_rows, ds_rows = _upwind_rows_sel(dim, n_sig, npp, ftpp, selcfg,
+                                        *in_refs)
+    for c in range(dim):
+        out_ref[c * npp : (c + 1) * npp, :] = du_rows[c]
+    for c in range(n_sig):
+        out_ref[(dim + c) * npp : (dim + c + 1) * npp, :] = ds_rows[c]
+
+
+def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa, *refs):
+    """Fused RK4 epilogue (stage mode, ``cs`` is a float): besides the
+    Godunov RHS k = (du, ds) of the stage input, reads the step BASE
+    state (ub, sb) and the running RK4 ACCUMULATOR (au, as) and writes
+
+        out = [ub + cs*du ; sb + cs*ds ; au + wa*du ; as + wa*ds]
+
+    i.e. the NEXT stage input and the updated accumulator — the XLA-side
+    stepper axpys (measured 5.24 ms/step vs a 0.9 ms traffic bound,
+    BENCH_NOTES r4 reconciliation) never materialize.  Final mode
+    (``cs`` is None) omits (ub, sb) and writes only [au + wa*du ;
+    as + wa*ds] — the completed RK4 update (damping stays outside)."""
+    if cs is None:
+        u_ref, s_ref, pu, pt, combo, sgu, sgt, g0, g1, g2, g3, g4, g5, \
+            g6, g7, g8, au_ref, as_ref, drr_ref, lift_ref, out_ref = refs
+        ub_ref = sb_ref = None
+    else:
+        u_ref, s_ref, pu, pt, combo, sgu, sgt, g0, g1, g2, g3, g4, g5, \
+            g6, g7, g8, ub_ref, sb_ref, au_ref, as_ref, drr_ref, \
+            lift_ref, out_ref = refs
+    du_rows, ds_rows = _upwind_rows_sel(
+        dim, n_sig, npp, ftpp, selcfg, u_ref, s_ref, pu, pt, combo,
+        sgu, sgt, g0, g1, g2, g3, g4, g5, g6, g7, g8, drr_ref, lift_ref)
+    nu, ns = dim * npp, n_sig * npp
+    off = 0
+    if cs is not None:
+        for c in range(dim):
+            out_ref[c * npp : (c + 1) * npp, :] = (
+                ub_ref[c * npp : (c + 1) * npp, :] + cs * du_rows[c])
+        for c in range(n_sig):
+            out_ref[nu + c * npp : nu + (c + 1) * npp, :] = (
+                sb_ref[c * npp : (c + 1) * npp, :] + cs * ds_rows[c])
+        off = nu + ns
+    for c in range(dim):
+        out_ref[off + c * npp : off + (c + 1) * npp, :] = (
+            au_ref[c * npp : (c + 1) * npp, :] + wa * du_rows[c])
+    for c in range(n_sig):
+        out_ref[off + nu + c * npp : off + nu + (c + 1) * npp, :] = (
+            as_ref[c * npp : (c + 1) * npp, :] + wa * ds_rows[c])
+
+
+def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
+                           panels_t, combo, sign_u, sign_t, selcfg,
+                           acc_u, acc_s, wa, base_u=None, base_s=None,
+                           cs=None, block: int = DEFAULT_BLOCK,
+                           interpret: bool = False) -> jax.Array:
+    """Coupled Godunov RHS with the RK4 stage/accumulator axpys fused
+    into the kernel epilogue (see _upwind_kernel_sel_axpy).
+
+    Stage mode (base_u/base_s/cs given): returns stacked
+    ((2*(dim+n_sig))*npp, E_pad) rows [u_stage; s_stage; u_acc; s_acc].
+    Final mode: ((dim+n_sig)*npp, E_pad) rows [u_acc; s_acc]."""
+    zpn, zsn, zown = uw
+    geo = [_pad_lanes(x, block)
+           for x in (d.ginv, d.nrm, d.fsc, d.irho, d.lam, d.mu,
+                     zpn, zsn, zown)]
+    E_pad = u_lm.shape[1]
+    grid = (E_pad // block,)
+    stage = base_u is not None
+    out_rows = (2 if stage else 1) * (d.dim + d.n_sig) * d.npp
+    # cs/wa are RK4 coefficients derived from the (static) dt — bake them
+    # into the kernel as immediates rather than passing scalar operands
+    kernel = functools.partial(
+        _upwind_kernel_sel_axpy, d.dim, d.n_sig, d.npp, d.ftpp, selcfg,
+        float(cs) if stage else None, float(wa))
+    extra = ([base_u, base_s, acc_u, acc_s] if stage
+             else [acc_u, acc_s])
+    ins = [u_lm, s_lm, panels_u, panels_t, combo, sign_u, sign_t,
+           *geo, *extra]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, E_pad), u_lm.dtype),
+        grid=grid,
+        in_specs=_lane_specs(block, [x.shape[0] for x in ins])
+        + [_table_spec(d.drr.shape), _table_spec(d.lift.shape)],
+        out_specs=pl.BlockSpec((out_rows, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*ins, d.drr, d.lift)
 
 
 def upwind_rhs_lm_sel(d: PallasOpData, uw, u_lm, s_lm, panels_u,

@@ -38,11 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.elastic import ElasticParams
-from ..ops.pallas_kernels import upwind_rhs_lm_sel
+from ..ops.pallas_kernels import upwind_rhs_lm_sel, upwind_rhs_lm_sel_axpy
 from ..ops.upwind import UpwindData
 from .lane_major import from_lm, to_lm
 from .lane_unstructured import UnstructuredLaneRunner
-from .source import SourceData
+from .source import SourceData, ricker
 from .timestep import State
 
 
@@ -67,6 +67,7 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         block: int | None = None,
         interpret: bool = False,
         visco=None,
+        fused_axpy: bool = True,
     ):
         kw = {} if block is None else {"block": block}
         super().__init__(p, dt, centroids=centroids, src=src, damp=damp,
@@ -109,6 +110,12 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         self.sign_t = jnp.asarray(st)
 
         self.visco = visco
+        # fused RK4 axpys need the raw ds_el for the anelastic rates, so
+        # the viscoelastic step keeps the XLA-side stepper glue
+        self.fused_axpy = fused_axpy and visco is None
+        # concrete dt: the fused kernel bakes the RK4 coefficients in as
+        # immediates (self.dt is a device array and would trace)
+        self._dt_f = float(dt)
         if visco is not None:
             def vrows(a):  # (E, L) old order -> (L, 1, E_pad)
                 r = np.asarray(a)[old].T
@@ -149,8 +156,69 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
             d.dim, d.n_sig, d.npp)
         return du, self._inject_s(aux, ds_el - xi_sum, t_), dxi
 
+    def _inject_sc(self, aux, xu, xs, t_, c):
+        """Add the stage source term, scaled by ``c``, to both blocks."""
+        if self.src_elems is None:
+            return xu, xs
+        r = self.src_amp * ricker(t_, self.src_f0, self.src_t0)
+        rr = (c * r)[None, :].astype(self.dtype)
+        xu = xu.at[:, self.src_elems].add(aux["src_vu"] * rr)
+        xs = xs.at[:, self.src_elems].add(aux["src_vs"] * rr)
+        return xu, xs
+
     # --- RK4 step ----------------------------------------------------------
     def step_with(self, d, aux, carry, t):
+        """One RK4 step.  Elastic default: the fused-epilogue path (the
+        kernel emits next-stage input + running accumulator directly,
+        upwind_rhs_lm_sel_axpy) — the XLA-side stage/combination axpys
+        measured 5.24 ms/step vs a 0.9 ms traffic bound (BENCH_NOTES r4
+        reconciliation).  Viscoelastic (or fused_axpy=False) keeps the
+        glue path: anelastic rates need the raw ds_el of every stage."""
+        if not self.fused_axpy:
+            return self._step_glue(d, aux, carry, t)
+        ulm, slm, _ = carry
+        h = self._dt_f
+        h2, w = 0.5 * h, h / 6.0
+        uw = (aux["zpn"], aux["zsn"], aux["zown"])
+
+        def call(uin, sin, au, asg, wa, bu=None, bs=None, cs=None):
+            return upwind_rhs_lm_sel_axpy(
+                d, uw, uin, sin, self._pg_u[0](uin), self._pg_t[0](sin),
+                aux["uw_combo"], aux["sign_u"], aux["sign_t"],
+                self._pg_u[3], au, asg, wa, bu, bs, cs,
+                self.block, self.interpret)
+
+        nu, ns = d.dim * d.npp, d.n_sig * d.npp
+
+        def split(o):
+            return (o[:nu], o[nu : nu + ns],
+                    o[nu + ns : 2 * nu + ns], o[2 * nu + ns :])
+
+        # stage 1 (k1 at t): next input u + h/2 k1, acc = u + w k1
+        s2u, s2s, au, asg = split(
+            call(ulm, slm, ulm, slm, w, ulm, slm, h2))
+        s2u, s2s = self._inject_sc(aux, s2u, s2s, t, h2)
+        au, asg = self._inject_sc(aux, au, asg, t, w)
+        # stage 2 (k2 at t+h/2): next input u + h/2 k2, acc += 2w k2
+        s3u, s3s, au, asg = split(
+            call(s2u, s2s, au, asg, 2 * w, ulm, slm, h2))
+        s3u, s3s = self._inject_sc(aux, s3u, s3s, t + h2, h2)
+        au, asg = self._inject_sc(aux, au, asg, t + h2, 2 * w)
+        # stage 3 (k3 at t+h/2): next input u + h k3, acc += 2w k3
+        s4u, s4s, au, asg = split(
+            call(s3u, s3s, au, asg, 2 * w, ulm, slm, h))
+        s4u, s4s = self._inject_sc(aux, s4u, s4s, t + h2, h)
+        au, asg = self._inject_sc(aux, au, asg, t + h2, 2 * w)
+        # stage 4 (k4 at t+h, final mode): u' = acc + w k4
+        o = call(s4u, s4s, au, asg, w)
+        u_n, s_n = o[:nu], o[nu:]
+        u_n, s_n = self._inject_sc(aux, u_n, s_n, t + h, w)
+        if self.damp_u is not None:
+            u_n = u_n * aux["damp_u"]
+            s_n = s_n * aux["damp_s"]
+        return u_n, s_n, None
+
+    def _step_glue(self, d, aux, carry, t):
         ulm, slm, xi = carry
         h = self.dt
         h2 = 0.5 * h

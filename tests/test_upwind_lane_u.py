@@ -165,3 +165,34 @@ def test_upwind_lane_u_visco_source_driven():
     np.testing.assert_allclose(
         np.asarray(seis), np.asarray(seis_ref), rtol=2e-4,
         atol=1e-5 * float(np.abs(seis_ref).max()))
+
+
+def test_upwind_lane_u_fused_axpy_matches_glue():
+    """Fused RK4 epilogue (stage/acc axpys inside the kernel,
+    upwind_rhs_lm_sel_axpy) vs the XLA-glue stepper on the same runner
+    config — also keeps the elastic glue path covered now that
+    fused_axpy is the elastic default."""
+    ext = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        _scramble(rect_mesh(5, 4), 7), 2,
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    w = build_upwind_data(dm, MAT, dtype=jnp.float32)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.5), f0=4.0, radius=0.25)],
+        dtype=jnp.float32)
+    damp = jnp.asarray(sponge_mask(dm, [(0, "lo")], width=0.3),
+                       jnp.float32)
+    st = _state(dm, dm.dim)
+    kw = dict(src=src, damp=damp, block=8, interpret=True,
+              centroids=np.asarray(dm.coords.mean(axis=1)))
+    run_f = UnstructuredUpwindRunner(p, w, dt, **kw)
+    run_g = UnstructuredUpwindRunner(p, w, dt, fused_axpy=False, **kw)
+    assert run_f.fused_axpy and not run_g.fused_axpy
+    out_f, _ = run_f.run(st, 4)
+    out_g, _ = run_g.run(st, 4)
+    np.testing.assert_allclose(np.asarray(out_f.u), np.asarray(out_g.u),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_f.s), np.asarray(out_g.s),
+                               rtol=2e-5, atol=2e-6)
