@@ -15,3 +15,12 @@ echo "=== r4 upwind_fused batch start $(date -u +%FT%TZ) ===" >> "$LOG"
     --degrees 3 --sizes 24 --steps 50 --impl upwind_lane_u --scramble \
     --out results/r4_upwind_lane_u_fused.json; }
 echo "=== r4 upwind_fused batch done $(date -u +%FT%TZ) ===" >> "$LOG"
+# stage 2: kernel-fused dense injection + in-register final damp
+[ -f results/r4_ab_upwind_u_inj.json ] || { wait_tpu; \
+  run_retry ab_upwind_u_inj 2400 bash -c \
+    "python -m seigen_tpu.bench.ab --n 24 --degree 3 --steps 50 --impl upwind_u > results/r4_ab_upwind_u_inj.json"; }
+[ -f results/r4_upwind_lane_u_inj.json ] || { wait_tpu; \
+  run_retry upwind_lane_u_inj 3600 python -m seigen_tpu.bench.sweep \
+    --degrees 3 --sizes 24 --steps 50 --impl upwind_lane_u --scramble \
+    --out results/r4_upwind_lane_u_inj.json; }
+echo "=== r4 upwind_inj batch done $(date -u +%FT%TZ) ===" >> "$LOG"

@@ -685,7 +685,8 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg, *refs):
         out_ref[(dim + c) * npp : (dim + c + 1) * npp, :] = ds_rows[c]
 
 
-def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa, *refs):
+def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa,
+                            n_inj, use_damp, *refs):
     """Fused RK4 epilogue (stage mode, ``cs`` is a float): besides the
     Godunov RHS k = (du, ds) of the stage input, reads the step BASE
     state (ub, sb) and the running RK4 ACCUMULATOR (au, as) and writes
@@ -696,18 +697,37 @@ def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa, *refs):
     stepper axpys (measured 5.24 ms/step vs a 0.9 ms traffic bound,
     BENCH_NOTES r4 reconciliation) never materialize.  Final mode
     (``cs`` is None) omits (ub, sb) and writes only [au + wa*du ;
-    as + wa*ds] — the completed RK4 update (damping stays outside)."""
-    if cs is None:
-        u_ref, s_ref, pu, pt, combo, sgu, sgt, g0, g1, g2, g3, g4, g5, \
-            g6, g7, g8, au_ref, as_ref, drr_ref, lift_ref, out_ref = refs
-        ub_ref = sb_ref = None
-    else:
-        u_ref, s_ref, pu, pt, combo, sgu, sgt, g0, g1, g2, g3, g4, g5, \
-            g6, g7, g8, ub_ref, sb_ref, au_ref, as_ref, drr_ref, \
-            lift_ref, out_ref = refs
+    as + wa*ds] — the completed RK4 update — optionally damped in-
+    register (use_damp: sponge rows (npp, B) broadcast per component).
+
+    ``n_inj`` dense source groups (Su, Ss, r) fold the point source
+    in-register BEFORE the epilogue: k += r*S — the per-stage XLA
+    scatter-adds (the LF4 engines' measured "hidden 1.4 ms",
+    BENCH_NOTES round 3) never run."""
+    fixed = refs[:16]
+    k = 16
+    inj = []
+    for _ in range(n_inj):
+        inj.append(refs[k : k + 3])
+        k += 3
+    if cs is not None:
+        ub_ref, sb_ref = refs[k], refs[k + 1]
+        k += 2
+    dmp_ref = None
+    au_ref, as_ref = refs[k], refs[k + 1]
+    k += 2
+    if use_damp:
+        dmp_ref = refs[k]
+        k += 1
+    drr_ref, lift_ref, out_ref = refs[k], refs[k + 1], refs[k + 2]
     du_rows, ds_rows = _upwind_rows_sel(
-        dim, n_sig, npp, ftpp, selcfg, u_ref, s_ref, pu, pt, combo,
-        sgu, sgt, g0, g1, g2, g3, g4, g5, g6, g7, g8, drr_ref, lift_ref)
+        dim, n_sig, npp, ftpp, selcfg, *fixed, drr_ref, lift_ref)
+    for su_ref, ss_ref, r_ref in inj:
+        r = r_ref[0:1, :]
+        for c in range(dim):
+            du_rows[c] = du_rows[c] + r * su_ref[c * npp : (c + 1) * npp, :]
+        for c in range(n_sig):
+            ds_rows[c] = ds_rows[c] + r * ss_ref[c * npp : (c + 1) * npp, :]
     nu, ns = dim * npp, n_sig * npp
     off = 0
     if cs is not None:
@@ -718,25 +738,32 @@ def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa, *refs):
             out_ref[nu + c * npp : nu + (c + 1) * npp, :] = (
                 sb_ref[c * npp : (c + 1) * npp, :] + cs * ds_rows[c])
         off = nu + ns
+    dmp = dmp_ref[:] if use_damp else None
     for c in range(dim):
+        row = au_ref[c * npp : (c + 1) * npp, :] + wa * du_rows[c]
         out_ref[off + c * npp : off + (c + 1) * npp, :] = (
-            au_ref[c * npp : (c + 1) * npp, :] + wa * du_rows[c])
+            dmp * row if use_damp else row)
     for c in range(n_sig):
+        row = as_ref[c * npp : (c + 1) * npp, :] + wa * ds_rows[c]
         out_ref[off + nu + c * npp : off + nu + (c + 1) * npp, :] = (
-            as_ref[c * npp : (c + 1) * npp, :] + wa * ds_rows[c])
+            dmp * row if use_damp else row)
 
 
 def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
                            panels_t, combo, sign_u, sign_t, selcfg,
                            acc_u, acc_s, wa, base_u=None, base_s=None,
-                           cs=None, block: int = DEFAULT_BLOCK,
+                           cs=None, inject=None, damp_row=None,
+                           block: int = DEFAULT_BLOCK,
                            interpret: bool = False) -> jax.Array:
     """Coupled Godunov RHS with the RK4 stage/accumulator axpys fused
     into the kernel epilogue (see _upwind_kernel_sel_axpy).
 
     Stage mode (base_u/base_s/cs given): returns stacked
     ((2*(dim+n_sig))*npp, E_pad) rows [u_stage; s_stage; u_acc; s_acc].
-    Final mode: ((dim+n_sig)*npp, E_pad) rows [u_acc; s_acc]."""
+    Final mode: ((dim+n_sig)*npp, E_pad) rows [u_acc; s_acc].
+    inject: None or [(Su (dim*npp, E_pad), Ss (n_sig*npp, E_pad),
+    r (8, E_pad)), ...] kernel-fused dense source groups (k += r*S).
+    damp_row ((npp, E_pad), final mode only): in-register sponge."""
     zpn, zsn, zown = uw
     geo = [_pad_lanes(x, block)
            for x in (d.ginv, d.nrm, d.fsc, d.irho, d.lam, d.mu,
@@ -744,14 +771,20 @@ def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
     E_pad = u_lm.shape[1]
     grid = (E_pad // block,)
     stage = base_u is not None
+    assert damp_row is None or not stage, "damp folds into final mode"
+    inject = inject or []
     out_rows = (2 if stage else 1) * (d.dim + d.n_sig) * d.npp
     # cs/wa are RK4 coefficients derived from the (static) dt — bake them
     # into the kernel as immediates rather than passing scalar operands
     kernel = functools.partial(
         _upwind_kernel_sel_axpy, d.dim, d.n_sig, d.npp, d.ftpp, selcfg,
-        float(cs) if stage else None, float(wa))
-    extra = ([base_u, base_s, acc_u, acc_s] if stage
-             else [acc_u, acc_s])
+        float(cs) if stage else None, float(wa), len(inject),
+        damp_row is not None)
+    extra = [x for g in inject for x in g]
+    extra += ([base_u, base_s, acc_u, acc_s] if stage
+              else [acc_u, acc_s])
+    if damp_row is not None:
+        extra.append(damp_row)
     ins = [u_lm, s_lm, panels_u, panels_t, combo, sign_u, sign_t,
            *geo, *extra]
     return pl.pallas_call(
