@@ -49,7 +49,7 @@ def _timed_scan(fn, carry, args, n, reps=2):
     return best / n
 
 
-def run_ab(n=24, degree=3, steps=50, impl="fused"):
+def run_ab(n=24, degree=3, steps=50, impl="fused", out_path=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -192,8 +192,13 @@ def run_ab(n=24, degree=3, steps=50, impl="fused"):
         # XLA-glue stepper (fused_axpy=False) — the r4 reconciliation's
         # "5.24 ms glue" recovery lever, measured at step level
         def stepf(r_):
+            # each runner is timed with ITS OWN d/aux (ADVICE r4: closing
+            # over the fused runner's aux silently couples the A/B to its
+            # aux layout if the runners ever diverge)
+            d_, aux_ = r_.d, r_._aux()
+
             def f(c, a):
-                u, s, _ = r_.step_with(d, aux, (c[0], c[1], None), 0.0)
+                u, s, _ = r_.step_with(d_, aux_, (c[0], c[1], None), 0.0)
                 return (u, s)
             return f
 
@@ -253,6 +258,15 @@ def run_ab(n=24, degree=3, steps=50, impl="fused"):
         "ms": {k: v * 1e3 for k, v in rows.items()},
     }
     print(json.dumps(out))
+    if out_path:
+        # atomic: write temp + rename so a killed run never satisfies an
+        # artifact gate with a truncated file (ADVICE r4)
+        import os
+
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, out_path)
     return out
 
 
@@ -262,12 +276,13 @@ def main():
     ap.add_argument("--degree", type=int, default=3)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--impl", type=str, default="fused")
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    run_ab(args.n, args.degree, args.steps, args.impl)
+    run_ab(args.n, args.degree, args.steps, args.impl, out_path=args.out)
     return 0
 
 

@@ -80,6 +80,14 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
     grads = {}
     for path in paths:
         if path == "roll":
+            from ..solver.fwi import guard_roll_ad
+
+            try:
+                guard_roll_ad(E)
+            except RuntimeError as exc:
+                out["roll"] = {"skipped": str(exc)}
+                print(json.dumps({"roll": out["roll"]}), flush=True)
+                continue
             @jax.jit
             def vg_one(th, src_k, obs_k):
                 def loss(th):

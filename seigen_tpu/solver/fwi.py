@@ -99,6 +99,46 @@ def make_smoother(p: ElasticParams, iters: int = 2, weight: float = 0.5):
     return smooth
 
 
+# --- known-crash containment ----------------------------------------------
+#: Largest element count at which the einsum-AD ("roll") gradient path is
+#: known-good on this TPU service.  At E=82944 the XLA-generated adjoint
+#: program reproducibly (3x) kills the TPU worker
+#: (results/r4_fwi_grad_roll24.json; scripts/repro_roll_crash.py is the
+#: minimized repro for an upstream report).  The custom-VJP lane/merged
+#: engines are clean at that size and are the production gradient path.
+ROLL_AD_MAX_E = 32768
+
+
+def guard_roll_ad(E: int, backend: str | None = None) -> None:
+    """Refuse the einsum-AD gradient path above the known-crash size.
+
+    Containment for a reproduced TPU-worker killer (A3 failure
+    containment): raises instead of letting a sweep re-trigger the fault.
+    Override with SEIGEN_TPU_ALLOW_ROLL_AD=1 (e.g. on CPU or a fixed
+    service).  CPU backends are exempt — the fault is in the XLA:TPU
+    adjoint program or the axon service, not the math.
+    """
+    import os
+
+    if os.environ.get("SEIGEN_TPU_ALLOW_ROLL_AD") == "1":
+        return
+    if backend is None:
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            return
+    if backend == "cpu":
+        return
+    if E > ROLL_AD_MAX_E:
+        raise RuntimeError(
+            f"einsum-AD (roll) gradient path refused at E={E} > "
+            f"{ROLL_AD_MAX_E} on backend '{backend}': reproducibly "
+            "crashes the TPU worker (results/r4_fwi_grad_roll24.json). "
+            "Use the custom-VJP engines (LaneDiffFwi.vg_factory, "
+            "engine='merged'|'lane') or set SEIGEN_TPU_ALLOW_ROLL_AD=1 "
+            "to override.")
+
+
 # --- the production loop ---------------------------------------------------
 @dataclass
 class FwiResult:
@@ -170,6 +210,9 @@ def invert(
     wall-clock.
     """
     import optax
+
+    if vg_factory is None:
+        guard_roll_ad(int(state0.u.shape[-3]))
 
     if precond is not None:
         precond = jnp.asarray(precond, dtype=p0.Ginv.dtype)

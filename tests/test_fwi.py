@@ -169,3 +169,23 @@ def test_invert_checkpoint_resume_bitwise(tmp_path):
                                       err_msg=ck)
         assert res.misfits == ref.misfits, ck
         assert res.bands == ref.bands, ck
+
+
+def test_roll_ad_guard_refuses_above_crash_size(monkeypatch):
+    """A3 failure containment: the einsum-AD (roll) gradient path must
+    refuse sizes above the reproduced TPU-worker-crash size
+    (results/r4_fwi_grad_roll24.json) on accelerator backends, stay
+    permissive on CPU, and honor the explicit override."""
+    from seigen_tpu.solver.fwi import ROLL_AD_MAX_E, guard_roll_ad
+
+    monkeypatch.delenv("SEIGEN_TPU_ALLOW_ROLL_AD", raising=False)
+    # below the cap: fine on any backend
+    guard_roll_ad(ROLL_AD_MAX_E, backend="tpu")
+    # above the cap on TPU: refused, message cites the artifact
+    with pytest.raises(RuntimeError, match="r4_fwi_grad_roll24"):
+        guard_roll_ad(ROLL_AD_MAX_E + 1, backend="tpu")
+    # CPU exempt (fault is in the XLA:TPU adjoint / axon service)
+    guard_roll_ad(10 * ROLL_AD_MAX_E, backend="cpu")
+    # explicit override
+    monkeypatch.setenv("SEIGEN_TPU_ALLOW_ROLL_AD", "1")
+    guard_roll_ad(10 * ROLL_AD_MAX_E, backend="tpu")
