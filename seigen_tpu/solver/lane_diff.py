@@ -88,7 +88,7 @@ def _material_free(p: ElasticParams) -> ElasticParams:
     )
 
 
-def _mass_weights(dm, runner, lanes=None, L=None):
+def _mass_weights(dm, runner, lanes=None, L=None, pars=None):
     """Per-element mass-conjugation weights in lane layout (jit arguments).
 
     Mn / Mninv embed the reference mass matrix into the padded npp rows
@@ -96,7 +96,13 @@ def _mass_weights(dm, runner, lanes=None, L=None):
     class-major-permuted per-element Jacobian placed at ``lanes`` within
     width ``L`` (default: the first E lanes of the v1 E_pad layout), dead
     lanes set to 1 so the inverse weight is finite there (dead lanes never
-    couple to real lanes in any engine)."""
+    couple to real lanes in any engine).
+
+    PACKED runners (n_par=2, two elements per lane on disjoint parity row
+    sections): Mn becomes block-diagonal per parity and detj becomes a
+    per-ROW (npp, L) array — the paired elements have different Jacobians,
+    so a per-lane scalar would conjugate one of them wrongly.  ``pars``
+    gives each element's parity (runner._epar)."""
     d = runner.d
     npp, E = d.npp, runner.E
     if L is None:
@@ -104,16 +110,30 @@ def _mass_weights(dm, runner, lanes=None, L=None):
     if lanes is None:
         lanes = np.arange(E)
     dt = runner.dtype
+    n_par = getattr(runner, "n_par", 1)
+    hp = npp // n_par
     M = np.asarray(dm.re.M, np.float64)
     Mn = np.eye(npp)
-    Mn[: d.n_p, : d.n_p] = M
-    detJ = np.ones(L)
-    detJ[np.asarray(lanes)] = np.asarray(dm.detJ)[runner._old_of_new]
+    vals = np.asarray(dm.detJ)[runner._old_of_new]
+    lanes = np.asarray(lanes)
+    if n_par == 1:
+        Mn[: d.n_p, : d.n_p] = M
+        detJ = np.ones(L)
+        detJ[lanes] = vals
+        detJ = detJ[None]
+    else:
+        pars = np.asarray(pars)
+        detJ = np.ones((npp, L))
+        for par in range(n_par):
+            Mn[par * hp : par * hp + d.n_p,
+               par * hp : par * hp + d.n_p] = M
+            kk = pars == par
+            detJ[par * hp : (par + 1) * hp, lanes[kk]] = vals[kk][None]
     return {
         "Mn": jnp.asarray(Mn, dt),
         "Mninv": jnp.asarray(np.linalg.inv(Mn), dt),
-        "detj": jnp.asarray(detJ, dt)[None],
-        "idetj": jnp.asarray(1.0 / detJ, dt)[None],
+        "detj": jnp.asarray(detJ, dt),
+        "idetj": jnp.asarray(1.0 / detJ, dt),
     }
 
 
@@ -207,11 +227,16 @@ def make_conjugated_vjp(a_prim, b_prim, dim, n_sig, npp, dtype):
 
 
 def _wmul(x, Mm, dj, kd, C, npp):
-    """detJ-ish (M-ish x diag(kd)) applied to a (C*npp, E_pad) lane field."""
+    """detJ-ish (M-ish x diag(kd)) applied to a (C*npp, E_pad) lane field.
+
+    ``dj`` is (1, L) per-lane, or (npp, L) per-ROW for packed layouts
+    (paired elements on one lane have different Jacobians)."""
     xr = x.reshape(C, npp, x.shape[-1])
     y = jnp.einsum("ij,cje->cie", Mm, xr)
     if kd is not None:
         y = y * kd[:, None, None]
+    if dj.shape[0] == npp and npp != 1:
+        return (y * dj[None]).reshape(C * npp, -1)
     return y.reshape(C * npp, -1) * dj
 
 
@@ -222,12 +247,16 @@ def _merged_field_traces(r, flm, C):
 
     d, plan = r.d, r.plan
     rows_c = [r._rmat @ flm[c * d.npp : (c + 1) * d.npp] for c in range(C)]
-    nfp, pad = d.n_fp, plan.rtf - C * d.n_fp
+    nfp, pad = d.n_fp, plan.rtq - C * d.n_fp
+    ftq, n_par = r._ftq, r.n_par
     blocks = []
     for f in range(plan.nf):
-        blocks += [rows_c[c][f * nfp : (f + 1) * nfp] for c in range(C)]
-        if pad:
-            blocks.append(jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
+        for par in range(n_par):
+            blocks += [rows_c[c][par * ftq + f * nfp
+                                 : par * ftq + (f + 1) * nfp]
+                       for c in range(C)]
+            if pad:
+                blocks.append(jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
     blk = jnp.concatenate(blocks, axis=0)  # (nf*rtf, Ls) face-major
     out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
     for t in range(plan.m):
@@ -319,6 +348,7 @@ class LaneDiffFwi:
         aniso: str | None = None,
         theta_defaults: dict | None = None,
         engine: str = "lane",
+        packed: bool | str = False,
     ):
         if interpret is None:  # Pallas on CPU requires interpret mode
             interpret = jax.devices()[0].platform == "cpu"
@@ -357,16 +387,21 @@ class LaneDiffFwi:
         if engine == "merged":
             from .lane_merged import MergedLaneRunner
 
+            if packed and aniso:
+                raise ValueError("packed layout is isotropic-only")
             self.runner = r = MergedLaneRunner(
                 _material_free(p0), ex, dt, order=4, damp=damp,
-                receivers=receivers, interpret=interpret, **kw)
+                receivers=receivers, interpret=interpret, packed=packed,
+                **kw)
             self.E = r.E
             self._L = r.plan.Ls
-            # class-major new index -> state lane (per-class padded)
+            # class-major new index -> state lane (per-class padded;
+            # packed: the PAIR's lane — parity rows disambiguate)
             lanes = r._slane(np.arange(self.E))
             # mass weights + mask: detj placed at real lanes, dead lanes 1
             d = r.d
-            self.w = _mass_weights(dm, r, lanes=lanes, L=self._L)
+            self.w = _mass_weights(dm, r, lanes=lanes, L=self._L,
+                                   pars=r._epar(np.arange(self.E)))
             self.w["mask"] = r.mask
             self.A, self.B = make_merged_diff_ops(r, self.w)
             # stress damp rows (the production merged path folds them into
@@ -374,6 +409,8 @@ class LaneDiffFwi:
             self._damp_s = (None if d.damp is None
                             else jnp.tile(d.damp, (d.n_sig, 1)))
         else:
+            if packed:
+                raise ValueError("packed=... is engine='merged' only")
             if engine == "lane_u":
                 # UNSTRUCTURED meshes (ex ignored): the conjugation
                 # identity is a property of the conforming-mesh bilinear
@@ -397,6 +434,12 @@ class LaneDiffFwi:
             self.A, self.B = make_diff_ops(r, self.w)
             self._damp_s = None  # runner aux carries damp_s
         self._lanes = jnp.asarray(lanes, jnp.int32)
+        # parity bookkeeping (packed merged runner; 1/zeros otherwise)
+        self._npar = getattr(r, "n_par", 1)
+        self._hp = r.d.npp // self._npar
+        self._pars_np = (np.asarray(r._epar(np.arange(self.E)))
+                         if self._npar > 1 else np.zeros(self.E, np.int64))
+        self._lanes_np = np.asarray(lanes)
         self.dt = r.dt
         self.order = order
         self.n_steps = n_steps
@@ -418,11 +461,23 @@ class LaneDiffFwi:
         vs = np.asarray(shots.vec_s)
         S, K = elems.shape
 
+        # packed: per-(shot, element) parity row offsets
+        par_sk = (self._pars_np[new_of_old[elems]]
+                  if self._npar > 1 else None)
+
         def lane_vecs(v, C):
             out = np.zeros((S, C * d.npp, K), dtype=self.dtype)
+            if par_sk is None:
+                for c in range(C):
+                    out[:, c * d.npp : c * d.npp + d.n_p] = (
+                        v[:, :, :, c].transpose(0, 2, 1))
+                return out
+            s_i = np.arange(S)[:, None]
+            k_i = np.arange(K)[None, :]
+            base = par_sk * self._hp  # (S, K)
             for c in range(C):
-                out[:, c * d.npp : c * d.npp + d.n_p] = (
-                    v[:, :, :, c].transpose(0, 2, 1))
+                for j in range(d.n_p):
+                    out[s_i, c * d.npp + base + j, k_i] = v[:, :, j, c]
             return out
 
         self.src = {
@@ -443,6 +498,13 @@ class LaneDiffFwi:
         aux.pop("mask", None)
         if self._damp_s is not None:
             aux["damp_s"] = self._damp_s
+        # the merged forward runner stores damp_u UNtiled (npp, Ls) and
+        # broadcasts in its post_u; compose_lf_step's shared post here
+        # multiplies the full (dim*npp, L) field, so tile at the boundary
+        # (exactly as parallel/merged_diff_sharded._aux does)
+        d = self.runner.d
+        if "damp_u" in aux and aux["damp_u"].shape[0] == d.npp:
+            aux["damp_u"] = jnp.tile(aux["damp_u"], (d.dim, 1))
         return aux
 
     # --- material rows from theta ------------------------------------
@@ -460,8 +522,18 @@ class LaneDiffFwi:
         irho = 1.0 / rho
 
         def place(a, dead):
-            row = jnp.full((L,), dead, self.dtype)
-            return row.at[self._lanes].set(a)[None]
+            if self._npar == 1:
+                row = jnp.full((L,), dead, self.dtype)
+                return row.at[self._lanes].set(a)[None]
+            # packed: per-ROW (npp, L) material — paired elements on one
+            # lane differ, so each parity's row section gets its own value
+            # (pad rows keep the section value; they multiply zero data)
+            out = jnp.full((self._npar * self._hp, L), dead, self.dtype)
+            for par in range(self._npar):
+                kk = np.where(self._pars_np == par)[0]
+                out = out.at[par * self._hp : (par + 1) * self._hp,
+                             self._lanes_np[kk]].set(a[kk][None])
+            return out
 
         if self.aniso == "vti":
             from ..ops.anisotropic import vti_stiffness_jnp
@@ -484,7 +556,11 @@ class LaneDiffFwi:
         irho = mrows["irho"]
 
         def vel(s_lm):
-            return irho * self.A(dd, ww, s_lm)
+            y = self.A(dd, ww, s_lm)
+            if irho.shape[0] == 1:
+                return irho * y
+            # packed: per-row (npp, L) material, broadcast per component
+            return (y.reshape(dim, npp, -1) * irho[None]).reshape(y.shape)
 
         if "C" in mrows:  # full Voigt stiffness (aniso mode)
             C = mrows["C"]  # (n_sig, n_sig, E_pad)
@@ -584,26 +660,40 @@ class LaneDiffFwi:
                 step = self._make_step(dd, ww, aux_, mrows, sk)
                 u0 = jnp.zeros((d.dim * d.npp, self._L), self.dtype)
                 s0 = jnp.zeros((d.n_sig * d.npp, self._L), self.dtype)
-                acc0 = jnp.zeros((self._L,), self.dtype)
+                # packed: keep per-ROW sums so paired elements (disjoint
+                # parity row sections of one lane) stay separable
+                acc0 = jnp.zeros((d.npp, self._L) if self._npar > 1
+                                 else (self._L,), self.dtype)
 
                 def body(carry, k):
                     u, s, acc = carry
                     u, s = step(u, s, k.astype(self.dtype) * self.dt)
-                    return (u, s, acc + jnp.sum(u * u, axis=0)), None
+                    u2 = (jnp.sum((u * u).reshape(d.dim, d.npp, -1), axis=0)
+                          if self._npar > 1 else jnp.sum(u * u, axis=0))
+                    return (u, s, acc + u2), None
 
                 (_, _, acc), _ = jax.lax.scan(
                     body, (u0, s0, acc0), jnp.arange(self.n_steps))
                 return acc
 
             self._illum_one = jax.jit(illum_one)
-        tot = np.zeros(self._L, np.float64)
+        tot = np.zeros((d.npp, self._L) if self._npar > 1 else self._L,
+                       np.float64)
         th = {} if theta is None else theta
         for k in range(self.n_shots):
             sk = jax.tree.map(lambda x, k=k: x[k], self.src)
             tot += np.asarray(self._illum_one(
                 th, self._theta0, r.d, self.w, aux, sk), np.float64)
         out = np.zeros(self.E, np.float64)
-        out[np.asarray(self._perm)] = tot[np.asarray(self._lanes)]
+        if self._npar == 1:
+            out[np.asarray(self._perm)] = tot[np.asarray(self._lanes)]
+        else:
+            vals = np.zeros(self.E, np.float64)
+            for par in range(self._npar):
+                kk = np.where(self._pars_np == par)[0]
+                vals[kk] = tot[par * self._hp : (par + 1) * self._hp,
+                               self._lanes_np[kk]].sum(axis=0)
+            out[np.asarray(self._perm)] = vals
         return out
 
     def synth(self, theta: dict):

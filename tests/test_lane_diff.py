@@ -660,3 +660,62 @@ def test_invert_precond_changes_gd_not_adam_direction():
                   ldf.observed, precond=w, **kw)
     assert not np.allclose(np.asarray(wrun.theta["vp"]),
                            np.asarray(base.theta["vp"]))
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_packed_merged_gradient_matches_lane(dim):
+    """engine='merged', packed=True (P1 two-elements-per-lane adjoint:
+    block-diag mass embedding, per-ROW detJ/material rows, parity source
+    placement) reproduces the lane-engine gradient, seismograms, and
+    illumination to roundoff."""
+    if dim == 2:
+        rng = np.random.default_rng(31)
+        dm = build_discrete(
+            rect_mesh(4, 4), 1,
+            bc_fn=absorbing_bc_fn(((0.0, 1.0), (0.0, 1.0)),
+                                  free_sides=[(1, "hi")]))
+        E = dm.num_elements
+        p0 = build_params(
+            dm, Material(rho=1.0 + rng.random(E), vp=2.0 + rng.random(E),
+                         vs=0.8 + 0.4 * rng.random(E)), dtype=jnp.float64)
+        ex = detect_structured(dm)
+        damp = jnp.asarray(
+            sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+            jnp.float64)
+    else:
+        rng = np.random.default_rng(32)
+        dm = build_discrete(
+            box_mesh(2, 2, 2), 1,
+            bc_fn=absorbing_bc_fn(((0.0, 1.0),) * 3,
+                                  free_sides=[(2, "hi")]))
+        E = dm.num_elements
+        p0 = build_params(
+            dm, Material(rho=1.0 + rng.random(E), vp=2.0 + rng.random(E),
+                         vs=0.8 + 0.3 * rng.random(E)), dtype=jnp.float64)
+        ex = detect_structured(dm)
+        damp = None
+    dt = cfl_dt(float(dm.h.min()), 3.5, 1, 0.25)
+    n_steps = 10
+    src, rcv = _point_src(dm), _rcv(dm)
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    theta = {"vp": jnp.asarray(vp0)}
+    res = {}
+    for key, kw in (("lane", dict(engine="lane")),
+                    ("merged_pk", dict(engine="merged", packed=True))):
+        ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                          None, damp=damp, block=8, interpret=True, **kw)
+        if key == "merged_pk":
+            assert ldf.runner.n_par == 2, "packed layout did not engage"
+        ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.06)})
+        res[key] = (ldf.vg_factory(None)(theta) + (ldf.observed,)
+                    + (ldf.illumination(),))
+    v1, g1, o1, i1 = res["lane"]
+    v2, g2, o2, i2 = res["merged_pk"]
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=1e-11,
+                               atol=1e-14)
+    np.testing.assert_allclose(v2, v1, rtol=1e-10)
+    scale = np.abs(np.asarray(g1["vp"])).max()
+    assert scale > 0
+    np.testing.assert_allclose(np.asarray(g2["vp"]), np.asarray(g1["vp"]),
+                               rtol=1e-9, atol=1e-13 * scale)
+    np.testing.assert_allclose(i2, i1, rtol=1e-9, atol=1e-12 * i1.max())
