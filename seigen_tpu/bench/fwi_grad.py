@@ -110,9 +110,12 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
                         jnp.add, tot_g, g)
                 return tot_v, tot_g
         else:
+            # "merged_pk" = the packed (two-elements-per-lane) P1 variant
+            # of the merged gradient engine
+            eng = "merged" if path == "merged_pk" else path
             ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots(src_list),
                               rcv, obs, damp=damp, segment=segment,
-                              engine=path)
+                              engine=eng, packed=(path == "merged_pk"))
             vg = ldf.vg_factory(None)
 
         v, g = vg(theta)  # compile + correctness sample
@@ -141,12 +144,13 @@ def run(n=24, degree=1, n_steps=200, repeats=2, shots=2, segment=20,
         out["grad_rel_maxdiff"] = rel
         out["speedup"] = (out["roll"]["vg_seconds"]
                           / out["lane"]["vg_seconds"])
-    if "lane" in grads and "merged" in grads:
-        a, b = grads["lane"], grads["merged"]
-        out["grad_rel_maxdiff_merged"] = float(
-            np.abs(a - b).max() / (np.abs(a).max() + 1e-30))
-        out["speedup_merged_vs_lane"] = (
-            out["lane"]["vg_seconds"] / out["merged"]["vg_seconds"])
+    for other in ("merged", "merged_pk"):
+        if "lane" in grads and other in grads:
+            a, b = grads["lane"], grads[other]
+            out[f"grad_rel_maxdiff_{other}"] = float(
+                np.abs(a - b).max() / (np.abs(a).max() + 1e-30))
+            out[f"speedup_{other}_vs_lane"] = (
+                out["lane"]["vg_seconds"] / out[other]["vg_seconds"])
     print(json.dumps(out))
     if out_path:
         with open(out_path, "w") as f:
