@@ -269,11 +269,41 @@ def main():
                              "is its own RK4, not --scheme)")
         if args.checkpoint or args.resume:
             raise SystemExit("--pml does not support checkpoint/resume yet")
-        if args.impl not in ("auto", "einsum"):
-            raise SystemExit("--pml rides the einsum path (--impl auto)")
+        if args.impl not in ("auto", "einsum", "merged"):
+            raise SystemExit("--pml rides the einsum or merged path "
+                             "(--impl auto|einsum|merged)")
         from seigen_tpu.solver import cpml_init, cpml_profiles, make_cpml_rhs
         from seigen_tpu.solver.pml import run_cpml
 
+        if args.impl in ("auto", "merged"):
+            # lane C-PML: direction-masked merged kernels (~3x a merged
+            # LF4 step vs the einsum path's ~9x; solver/lane_cpml.py)
+            from seigen_tpu.ops.structured_exchange import detect_structured
+
+            ex_pml = detect_structured(dm)
+        else:
+            ex_pml = None
+        if ex_pml is not None:
+            from seigen_tpu.solver.lane_cpml import CpmlLaneRunner
+
+            lr = CpmlLaneRunner(
+                p, dm, ex_pml, dt, absorb, args.pml, vp_max, f0=f0,
+                src=src, receivers=rcv,
+                interpret=jax.devices()[0].platform == "cpu")
+            print(f"impl: cpml-lane (width={args.pml}, RK4 merged split "
+                  f"ops, {len(absorb)} sides)")
+            with timer.region("run"):
+                st, ys = lr.run(st, n_steps)
+                jax.block_until_ready(st.u)
+            if ys is not None:
+                seis_chunks.append(np.asarray(ys))
+            if args.vtk:
+                pvd = PVDWriter(args.vtk, dm)
+                pr = -np.asarray(st.s)[..., :dim].mean(axis=-1)
+                pvd.write(n_steps * dt, {"u": np.asarray(st.u), "p": pr})
+                pvd.close()
+            return _common_tail(args, st, seis_chunks, timer, dt, E,
+                                n_steps, f0, rec_a, rec_b)
         dprof, aprof = cpml_profiles(dm, absorb, args.pml, vp_max, f0=f0)
         rhs = make_cpml_rhs(p, dprof, aprof, src=src)
         cst = cpml_init(p, st.u, st.s)
@@ -601,6 +631,19 @@ def main():
                         args.checkpoint, st, n, {"dt": dt, "T": args.T},
                         extras=None if xi is None else {"xi": xi})
             jax.block_until_ready(st.u)
+
+    return _common_tail(args, st, seis_chunks, timer, dt, E, n_steps, f0,
+                        rec_a, rec_b)
+
+
+def _common_tail(args, st, seis_chunks, timer, dt, E, n_steps, f0,
+                 rec_a, rec_b):
+    """Seismogram save + report + finite-field check (shared by the lane
+    C-PML early path and the main fall-through)."""
+    import numpy as np
+
+    from seigen_tpu.solver import line
+    from seigen_tpu.utils import write_run_report
 
     seis = np.concatenate(seis_chunks, axis=0) if seis_chunks else None
     if args.out and seis is not None:

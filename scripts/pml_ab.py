@@ -52,6 +52,7 @@ def _timed_scan(fn, carry, n, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--dim", type=int, default=2, choices=[2, 3])
     ap.add_argument("--degree", type=int, default=3)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--width", type=float, default=0.15)
@@ -63,7 +64,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from seigen_tpu.mesh import build_discrete, rect_mesh
+    from seigen_tpu.mesh import box_mesh, build_discrete, rect_mesh
     from seigen_tpu.ops import Material, build_params
     from seigen_tpu.ops.structured_exchange import detect_structured
     from seigen_tpu.solver import (
@@ -76,21 +77,28 @@ def main():
     )
     from seigen_tpu.solver.lane_merged import MergedLaneRunner
 
-    n, degree = args.n, args.degree
+    n, degree, dim = args.n, args.degree, args.dim
     mat = Material(rho=1.0, vp=2.0, vs=1.0)
-    ext = ((0.0, 1.0),) * 2
-    absorb = [(0, "lo"), (0, "hi"), (1, "lo")]
+    ext = ((0.0, 1.0),) * dim
+    if dim == 2:
+        mesh = rect_mesh(n, n)
+        absorb = [(0, "lo"), (0, "hi"), (1, "lo")]
+    else:
+        mesh = box_mesh(n, n, n)
+        absorb = [(0, "lo"), (0, "hi"), (1, "lo"), (1, "hi"), (2, "lo")]
+    n_sig = 3 if dim == 2 else 6
     dm = build_discrete(
-        rect_mesh(n, n),
+        mesh,
         degree,
-        bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]),
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(dim - 1, "hi")]),
     )
     p = build_params(dm, mat, dtype=jnp.float32)
     dt = cfl_dt(float(dm.h.min()), 2.0, degree, 0.4)
     E, n_p = dm.num_elements, dm.re.n_p
     rng = np.random.default_rng(3)
-    u0 = jnp.asarray(rng.standard_normal((E, n_p, 2)) * 1e-3, jnp.float32)
-    s0 = jnp.asarray(rng.standard_normal((E, n_p, 3)) * 1e-3, jnp.float32)
+    u0 = jnp.asarray(rng.standard_normal((E, n_p, dim)) * 1e-3, jnp.float32)
+    s0 = jnp.asarray(
+        rng.standard_normal((E, n_p, n_sig)) * 1e-3, jnp.float32)
     dt_ = jnp.asarray(dt, jnp.float32)
 
     def rk4_fn(rhs):
@@ -110,6 +118,7 @@ def main():
 
         return step
 
+    itp = jax.devices()[0].platform == "cpu"  # Pallas interpret off-TPU
     rows = {}
     # C-PML RK4 (the production --pml branch's numerics)
     dprof, aprof = cpml_profiles(dm, absorb, args.width, 2.0, f0=9.05)
@@ -129,13 +138,39 @@ def main():
     # production merged-lane LF4 row at the same mesh, for context
     ex = detect_structured(dm)
     if ex is not None:
-        r = MergedLaneRunner(p, ex, dt, order=4, packed="auto")
+        r = MergedLaneRunner(p, ex, dt, order=4, packed="auto",
+                             interpret=itp)
         ulm, slm = r.to_lm_state(State(u=u0, s=s0))
         trs = r.traction_traces(slm)
         rows["merged_ms"] = 1e3 * _timed_scan(
             lambda c, k: r.step_with(
                 r.d, r._aux(), c, k.astype(jnp.float32) * dt_),
             (ulm, slm, trs), args.steps)
+
+        # sponge baseline: merged LF4 with a Cerjan mask on the same
+        # absorbing sides (the production parity absorbing treatment)
+        from seigen_tpu.solver.damping import sponge_mask
+
+        damp = jnp.asarray(sponge_mask(dm, absorb, width=args.width),
+                           jnp.float32)
+        rs = MergedLaneRunner(p, ex, dt, order=4, damp=damp,
+                              packed="auto", interpret=itp)
+        ulm2, slm2 = rs.to_lm_state(State(u=u0, s=s0))
+        trs2 = rs.traction_traces(slm2)
+        rows["merged_sponge_ms"] = 1e3 * _timed_scan(
+            lambda c, k: rs.step_with(
+                rs.d, rs._aux(), c, k.astype(jnp.float32) * dt_),
+            (ulm2, slm2, trs2), args.steps)
+
+        # the NEW lane C-PML engine (solver/lane_cpml.py): dim split
+        # vel + dim split stress merged ops per RHS, RK4
+        from seigen_tpu.solver.lane_cpml import CpmlLaneRunner
+
+        lr = CpmlLaneRunner(p, dm, ex, dt, absorb, args.width, 2.0,
+                            f0=9.05, interpret=itp)
+        rows["lane_pml_ms"] = 1e3 * _timed_scan(
+            lambda c, k: lr.step(c, k.astype(jnp.float32) * dt_),
+            lr.init_carry(State(u=u0, s=s0)), args.steps)
 
     out = {"E": E, "n": n, "degree": degree, "steps": args.steps, **rows}
     line = json.dumps(out)

@@ -5,6 +5,7 @@ from .errors import convergence_order, interpolate, l2_error, l2_norm
 from .receivers import ReceiverData, build_receivers, grid, line, sample
 from .source import (PointSource, SourceData, build_sources,
                      kinematic_rupture, ricker)
+from .lane_cpml import CpmlLaneRunner
 from .pml import (CpmlState, cpml_init, cpml_profiles, make_cpml_rhs,
                   run_cpml)
 from .rk4 import make_rk4_step, run_rk4
@@ -31,6 +32,7 @@ __all__ = [
     "build_sources",
     "kinematic_rupture",
     "ricker",
+    "CpmlLaneRunner",
     "CpmlState",
     "cpml_init",
     "cpml_profiles",

@@ -105,7 +105,7 @@ def test_invert_reduces_misfit_and_model_error(optimizer):
     res = invert(
         p0, st0, dt, n_steps, shots, rcv, observed,
         fields=("vp",), optimizer=optimizer, lr=0.005,
-        iters=12 if optimizer == "adam" else 8,
+        iters=12 if optimizer == "adam" else 10,
         smooth_iters=1, bounds={"vp": (1.5, 2.5)}, damp=damp)
     assert res.misfits[-1] < 0.5 * res.misfits[0]
     # model error in the anomaly region (where the data has sensitivity;
