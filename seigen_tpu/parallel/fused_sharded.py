@@ -68,6 +68,7 @@ class ShardedFusedRunner:
         overlap: bool = True,
         fill_mode: str = "auto",
         packed: bool | str = False,
+        pay: int | None = None,
     ):
         """fill_mode — the halo-fill strategy (round-4 1-shard split):
 
@@ -172,7 +173,7 @@ class ShardedFusedRunner:
             bx = choose_block(self.NCloc)
         while True:
             plan = build_merged_plan(ex, d, bx, G0loc=self.G0loc, halo=halo,
-                                     n_par=self.n_par)
+                                     pay=pay, n_par=self.n_par)
             if plan is None:
                 raise ValueError("mesh does not satisfy the merged-kernel "
                                  "constraints (see build_merged_plan)")

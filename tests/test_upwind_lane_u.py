@@ -196,3 +196,41 @@ def test_upwind_lane_u_fused_axpy_matches_glue():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out_f.s), np.asarray(out_g.s),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_upwind_lane_u_fused_scatter_fallback_matches_glue():
+    """ADVICE r4: the fused stepper's SCATTER fallback (>2 distinct
+    (f0, t0) wavelet groups force src_dense=None) and the stage-4
+    damp-after-scatter ordering were uncovered.  Three sources with
+    distinct wavelets + sponge damp: fused == glue."""
+    ext = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        _scramble(rect_mesh(5, 4), 11), 2,
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    w = build_upwind_data(dm, MAT, dtype=jnp.float32)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
+    src = build_sources(
+        dm, [PointSource(position=(0.35, 0.5), f0=4.0, t0=0.3,
+                         radius=0.2),
+             PointSource(position=(0.65, 0.5), f0=5.0, t0=0.25,
+                         radius=0.2),
+             PointSource(position=(0.5, 0.3), f0=6.0, t0=0.2,
+                         radius=0.2)],
+        dtype=jnp.float32)
+    damp = jnp.asarray(sponge_mask(dm, [(0, "lo")], width=0.3),
+                       jnp.float32)
+    st = _state(dm, dm.dim)
+    kw = dict(src=src, damp=damp, block=8, interpret=True,
+              centroids=np.asarray(dm.coords.mean(axis=1)))
+    run_f = UnstructuredUpwindRunner(p, w, dt, **kw)
+    run_g = UnstructuredUpwindRunner(p, w, dt, fused_axpy=False, **kw)
+    assert run_f.src_dense is None, "3 wavelet groups must force scatter"
+    assert run_f.fused_axpy and not run_g.fused_axpy
+    out_f, _ = run_f.run(st, 4)
+    out_g, _ = run_g.run(st, 4)
+    assert float(np.abs(np.asarray(out_f.u)).max()) > 0
+    np.testing.assert_allclose(np.asarray(out_f.u), np.asarray(out_g.u),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_f.s), np.asarray(out_g.s),
+                               rtol=2e-5, atol=2e-6)
