@@ -188,6 +188,18 @@ def run_ab(n=24, degree=3, steps=50, impl="fused", out_path=None):
         rows["g4"] = _timed_scan(x4(g1), (ulm, slm), (), steps)
         rows["k4"] = _timed_scan(x4(k1), (ulm, slm), (), steps)
 
+        # panel-gather ATTRIBUTION (VERDICT r4 #2b): gT4 times ONLY the
+        # own-rows build (restriction + traction contraction) — the part
+        # a producer-side kernel epilogue could emit for free.  g4 - gT4
+        # is the neighbour takes + panel materialization, the
+        # irreducible gather; gT4 is the emission lever's ceiling.
+        def gT1(c, a):
+            u, s = c
+            return (fold(u, r._pg_u[0].own_rows_fn(u)),
+                    fold(s, r._pg_t[0].own_rows_fn(s)))
+
+        rows["gT4"] = _timed_scan(x4(gT1), (ulm, slm), (), steps)
+
         # full production step, fused RK4 epilogue (default) vs the
         # XLA-glue stepper (fused_axpy=False) — the r4 reconciliation's
         # "5.24 ms glue" recovery lever, measured at step level

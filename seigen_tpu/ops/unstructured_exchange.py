@@ -256,7 +256,11 @@ def make_panel_gather(
         s[:nf, :E] = np.where(boundary, 1.0, -1.0).T
         sign = jnp.asarray(s)
 
-    def panels_fn(f_lm: jax.Array) -> jax.Array:
+    def own_rows_fn(f_lm: jax.Array) -> jax.Array:
+        """Stage 1: own-face rows (rows_pad, E) — the one-hot restriction
+        (+ traction contraction on the sigma side).  This is the part a
+        producer-side kernel epilogue could emit for free; the takes
+        below are the irreducible neighbour gather."""
         Fp = f_lm.reshape(Cin, npp, E_pad)[:, :, :E]
         T = jax.lax.dot_general(
             Rj.astype(f_lm.dtype), Fp,
@@ -277,12 +281,21 @@ def make_panel_gather(
             T = T.transpose(1, 0, 2).reshape(C * ftp, E)
         if rows_pad != C * ftp:
             T = jnp.pad(T, ((0, rows_pad - C * ftp), (0, 0)))
+        return T
+
+    def takes_fn(T: jax.Array) -> jax.Array:
+        """Stage 2: the nf neighbour lane-takes in consumer order."""
         panels = jnp.concatenate(
             [jnp.take(T, take_e2[f], axis=1) for f in range(nf)], axis=0)
         if E_pad != E:
             panels = jnp.pad(panels, ((0, 0), (0, E_pad - E)))
         return panels
 
+    def panels_fn(f_lm: jax.Array) -> jax.Array:
+        return takes_fn(own_rows_fn(f_lm))
+
+    panels_fn.own_rows_fn = own_rows_fn
+    panels_fn.takes_fn = takes_fn
     return panels_fn, combo, sign, selcfg
 
 
