@@ -66,6 +66,14 @@ class DomainDecomposedFwi:
         self.observed = observed
         self._theta0 = theta_of_params(p0)
         self._perm = jnp.asarray(r._old_of_new)
+        # parity bookkeeping (packed merged runner; 1/zeros otherwise):
+        # paired elements share a lane on disjoint parity row sections,
+        # so material/detj placement is per-ROW (solver/lane_diff.py)
+        self._npar = getattr(r, "n_par", 1)
+        self._hp = r.d.npp // self._npar
+        self._lanes_np = np.asarray(self._lanes)
+        self._pars_np = (np.asarray(r._epar(np.arange(self.E)))
+                         if self._npar > 1 else None)
 
         # per-shot shard-packed sources, shot axis padded to a common
         # per-shard S_max (amp=0 fill) for one jit signature
@@ -124,8 +132,20 @@ class DomainDecomposedFwi:
                                   take(full["rho"]))
 
         def place(a, dead):
-            row = jnp.full((self._L,), dead, self.dtype)
-            return row.at[self._lanes].set(a)[None]
+            if self._npar == 1:
+                row = jnp.full((self._L,), dead, self.dtype)
+                return row.at[self._lanes].set(a)[None]
+            # packed: per-ROW (npp, L) material — paired elements on one
+            # lane differ, so each parity's row section gets its own
+            # value (pad rows keep the section value; they multiply
+            # zero data)
+            out = jnp.full((self._npar * self._hp, self._L), dead,
+                           self.dtype)
+            for par in range(self._npar):
+                kk = np.where(self._pars_np == par)[0]
+                out = out.at[par * self._hp : (par + 1) * self._hp,
+                             self._lanes_np[kk]].set(a[kk][None])
+            return out
 
         return {"lam": place(lam, 0.0), "mu": place(mu, 0.0),
                 "irho": place(irho, 1.0)}
@@ -177,7 +197,13 @@ class DomainDecomposedFwi:
             lam, mu, irho = mr["lam"], mr["mu"], mr["irho"]
 
             def vel(sf):
-                return irho * A(dd, ww, sf)
+                y = A(dd, ww, sf)
+                if irho.shape[0] == 1:
+                    return irho * y
+                # packed: per-ROW (npp, L) material, broadcast per
+                # component (solver/lane_diff.py _make_step)
+                return (y.reshape(dim, npp, -1)
+                        * irho[None]).reshape(y.shape)
 
             def stress(uf):
                 eps = B(dd, ww, uf).reshape(n_sig, npp, -1)

@@ -677,22 +677,26 @@ class ShardedFusedRunner:
     def _field_traces_loc(self, flm, rmat, C):
         """Own-face traces of a shard-local lane-major field in the
         merged trace layout (the u-trace analog of
-        _traction_traces_loc; used by the DD gradient engine, which is
-        unpacked-only like the single-chip gradient engines)."""
-        assert self.n_par == 1, "DD gradient engine is unpacked-only"
+        _traction_traces_loc; used by the DD gradient engine).  Packed:
+        per-parity rtq row sections, exactly the _traction_traces_loc
+        block order (unpacked rtq == rtf, mq == m — the plain layout)."""
         d, plan = self.d, self.plan
         rows_c = [rmat @ flm[c * d.npp : (c + 1) * d.npp]
                   for c in range(C)]
-        nfp, pad = d.n_fp, plan.rtf - C * d.n_fp
+        nfp, pad = d.n_fp, plan.rtq - C * d.n_fp
+        ftq = self._ftq
         blocks = []
         for f in range(plan.nf):
-            blocks += [rows_c[c][f * nfp : (f + 1) * nfp]
-                       for c in range(C)]
-            if pad:
-                blocks.append(jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
+            for par in range(self.n_par):
+                blocks += [rows_c[c][par * ftq + f * nfp
+                                     : par * ftq + (f + 1) * nfp]
+                           for c in range(C)]
+                if pad:
+                    blocks.append(
+                        jnp.zeros((pad, plan.Ls), rows_c[0].dtype))
         blk = jnp.concatenate(blocks, axis=0)
         out = jnp.zeros((plan.nf * plan.rtf, plan.Lt), dtype=blk.dtype)
-        for t in range(self.m):
+        for t in range(self.mq):
             out = jax.lax.dynamic_update_slice(
                 out, blk[:, t * plan.NCs : t * plan.NCs + self.NCloc],
                 (0, t * plan.NCt + plan.h0))

@@ -60,6 +60,7 @@ class ShardedMergedDiffFwi(DomainDecomposedFwi):
         block: int | None = None,
         interpret: bool | None = None,
         devices=None,
+        packed: bool | str = False,
     ):
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
@@ -68,14 +69,18 @@ class ShardedMergedDiffFwi(DomainDecomposedFwi):
         self.runner = r = ShardedFusedRunner(
             _material_free(p0), ex, dt, n_shards, order=4, src=None,
             damp=damp, receivers=receivers, block=block,
-            interpret=interpret, devices=devices)
+            interpret=interpret, devices=devices, packed=packed)
         self.order = 4
         self._lanes = r._lane(np.arange(r.E))
         self._L = r.Ls
         # conjugation weights at the global state lanes (detj placed at
-        # real lanes, dead class-padding lanes 1); the boundary mask and
-        # trace-seed tables ride in w so every operand is a jit argument
-        self.w = _mass_weights(dm, r, lanes=self._lanes, L=r.Ls)
+        # real lanes, dead class-padding lanes 1; packed: per-ROW (npp,
+        # Ls) detj + block-diagonal parity mass embedding); the boundary
+        # mask and trace-seed tables ride in w so every operand is a jit
+        # argument
+        self.w = _mass_weights(
+            dm, r, lanes=self._lanes, L=r.Ls,
+            pars=(r._epar(np.arange(r.E)) if r.n_par > 1 else None))
         self.w.update(mask=r.mask, nrm=r._nrm_exp, rmat=r._rmat)
         # stress damp rows (production folds them into stress_axpy; the
         # diff path damps via compose_lf_step's post)
@@ -115,7 +120,8 @@ class ShardedMergedDiffFwi(DomainDecomposedFwi):
         lane = P(None, AXIS)
         return dataclasses.replace(
             d, drr=P(), lift=P(), erep=P(), geo=lane,
-            damp=None if d.damp is None else lane)
+            damp=None if d.damp is None else lane,
+            gexp=None if d.gexp is None else P())
 
     def _w_specs(self):
         lane = P(None, AXIS)

@@ -79,3 +79,62 @@ def test_merged_sharded_gradient_matches_single_chip(n_shards):
     np.testing.assert_allclose(
         np.asarray(g_sh["vp"]), np.asarray(g_ref["vp"]),
         rtol=1e-7, atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_merged_sharded_packed_gradient_matches_single_chip(n_shards):
+    """packed=True (P1 two-elements-per-lane) on the DD gradient engine:
+    per-ROW detj/material placement, block-diagonal parity mass
+    embedding, parity-aware trace seeds (_field_traces_loc rtq blocks)
+    and sources/receivers must reproduce the single-chip PACKED merged
+    gradient to roundoff across shard counts."""
+    if len(jax.devices()) < n_shards:
+        pytest.skip("needs virtual devices")
+    rng = np.random.default_rng(33)
+    extents = ((0.0, 1.0),) * 3
+    dm = build_discrete(
+        box_mesh(4, 3, 3), 1,
+        bc_fn=absorbing_bc_fn(extents, free_sides=[(2, "hi")]))
+    E = dm.num_elements
+    p0 = build_params(
+        dm, Material(rho=1.0 + rng.random(E), vp=2.0 + rng.random(E),
+                     vs=0.8 + 0.3 * rng.random(E)), dtype=jnp.float64)
+    ex = detect_structured(dm)
+    assert ex is not None
+    dt = cfl_dt(float(dm.h.min()), 3.0, 1, 0.3)
+    n_steps = 8
+    src = build_sources(
+        dm, [PointSource(position=(0.45, 0.5, 0.6), f0=6.0, t0=0.06,
+                         amplitude=100.0, radius=0.3)],
+        dtype=jnp.float64)
+    rcv = build_receivers(dm, line((0.2, 0.5, 0.85), (0.8, 0.5, 0.85), 3),
+                          dtype=jnp.float64)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi"), (1, "lo")], width=0.25),
+        jnp.float64)
+
+    ldf = LaneDiffFwi(p0, dm, ex, dt, n_steps, stack_shots([src]), rcv,
+                      None, damp=damp, block=9, interpret=True,
+                      engine="merged", packed=True)
+    assert ldf.runner.n_par == 2, "single-chip packed did not engage"
+    vp0 = np.asarray(jnp.sqrt((p0.lam + 2 * p0.mu) * p0.inv_rho))
+    ldf.observed = ldf.synth({"vp": jnp.asarray(vp0 * 1.06)})
+    theta = {"vp": jnp.asarray(vp0)}
+    v_ref, g_ref = ldf.vg_factory(None)(theta)
+
+    sh = ShardedMergedDiffFwi(
+        p0, dm, ex, dt, n_steps, stack_shots([src]), rcv, ldf.observed,
+        n_shards, damp=damp, block=8, interpret=True,
+        devices=jax.devices()[:n_shards], packed=True)
+    assert sh.runner.n_par == 2, "sharded packed did not engage"
+    seis_sh = sh.synth(theta)
+    seis_ref = ldf.synth(theta)
+    np.testing.assert_allclose(seis_sh, seis_ref, rtol=1e-9, atol=1e-12)
+
+    v_sh, g_sh = sh.vg_factory(None)(theta)
+    np.testing.assert_allclose(v_sh, v_ref, rtol=1e-9)
+    scale = np.abs(np.asarray(g_ref["vp"])).max()
+    assert scale > 0
+    np.testing.assert_allclose(
+        np.asarray(g_sh["vp"]), np.asarray(g_ref["vp"]),
+        rtol=1e-7, atol=1e-10 * scale)
