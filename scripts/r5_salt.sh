@@ -21,6 +21,15 @@ done
 echo "=== r5 salt batch start $(date -u +%FT%TZ) ===" >> "$LOG"
 wait_tpu || { echo "TPU never came up (r5_salt)" >> "$LOG"; exit 1; }
 
+# producer-side panel emission A/B first (short; priced by the gT4
+# attribution this round — implement-vs-negative rides this number).
+# Lives here so it runs after perf/pk but BEFORE the multi-hour salt
+# inversion without racing it for the chip.
+[ -s results/r5_ab_upwind_u_emit.json ] || { wait_tpu; \
+  run_retry ab_upwind_u_emit 3600 python -m seigen_tpu.bench.ab \
+    --n 24 --degree 3 --steps 50 --impl upwind_u \
+    --out results/r5_ab_upwind_u_emit.json; }
+
 [ -s results/r5_fwi_salt3d_full.npz ] || { wait_tpu; \
   run_retry salt_flagship 21600 python scripts/fwi.py --dim 3 --n 24 \
       --degree 2 --salt --areal --shots 9 --receivers 36 --vsp 8 \

@@ -220,6 +220,23 @@ def run_ab(n=24, degree=3, steps=50, impl="fused", out_path=None):
             centroids=np.asarray(dm.coords.mean(axis=1)))
         rows["step_glue"] = _timed_scan(
             stepf(r_glue), (ulm, slm), (), steps)
+
+        # producer-side panel emission (r5 lever priced by gT4): the
+        # stage kernels append their output's own-face panels; the XLA
+        # restriction pass (gT4 = 3.94 ms of g4 = 6.47 ms) never runs
+        r_emit = UnstructuredUpwindRunner(
+            p, w, dt, src=src, damp=damp, panel_emit=True,
+            centroids=np.asarray(dm.coords.mean(axis=1)))
+
+        def step_emit(c, a):
+            u, s, TU, TT = c
+            u, s, T = r_emit._step_emit(
+                r_emit.d, r_emit._aux(), (u, s, (TU, TT)), 0.0)
+            return (u, s, T[0], T[1])
+
+        TU0, TT0 = r_emit._own_rows_e(ulm, slm)
+        rows["step_emit"] = _timed_scan(
+            step_emit, (ulm, slm, TU0, TT0), (), steps)
     else:
         from ..ops.pallas_kernels import stress_op_lm, vel_op_lm
         from ..solver.lane_major import LaneMajorRunner

@@ -686,7 +686,7 @@ def _upwind_kernel_sel(dim, n_sig, npp, ftpp, selcfg, *refs):
 
 
 def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa,
-                            n_inj, use_damp, *refs):
+                            n_inj, use_damp, emit, *refs):
     """Fused RK4 epilogue (stage mode, ``cs`` is a float): besides the
     Godunov RHS k = (du, ds) of the stage input, reads the step BASE
     state (ub, sb) and the running RK4 ACCUMULATOR (au, as) and writes
@@ -703,7 +703,24 @@ def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa,
     ``n_inj`` dense source groups (Su, Ss, r) fold the point source
     in-register BEFORE the epilogue: k += r*S — the per-stage XLA
     scatter-adds (the LF4 engines' measured "hidden 1.4 ms",
-    BENCH_NOTES round 3) never run."""
+    BENCH_NOTES round 3) never run.
+
+    ``emit``: PRODUCER-SIDE PANEL EMISSION (the r5 unstructured gather
+    lever, BENCH_NOTES r5 gT4 attribution: the XLA own-rows build is
+    3.94 of the 6.47 ms panel gather).  Appends to the output the
+    own-face panels of the EMITTED state (stage mode: the next stage
+    input; final mode: the damped final state):
+
+        TU rows c*ftpp + f*nfp + k: R @ u'_c           (dim sections)
+        TT rows c*ftpp + f*nfp + k: sum_d n_d R@s'_V[c,d] (producer
+                                    normal contraction, dim sections)
+
+    with R the own-face restriction (the last ftpp rows of ``drr``) —
+    the next stage's gather then runs ONLY the nf lane takes; the XLA
+    restriction pass (and its full-state HBM re-read) never runs.  The
+    consumer select reads this layout with selcfg' = (ftp -> ftpp,
+    rows_pad -> C*ftpp); the restriction data is already in VMEM, so
+    emission costs dim+n_sig small extra MXU matmuls + the panel write."""
     fixed = refs[:16]
     k = 16
     inj = []
@@ -730,23 +747,45 @@ def _upwind_kernel_sel_axpy(dim, n_sig, npp, ftpp, selcfg, cs, wa,
             ds_rows[c] = ds_rows[c] + r * ss_ref[c * npp : (c + 1) * npp, :]
     nu, ns = dim * npp, n_sig * npp
     off = 0
+    eu, es = [], []  # the EMITTED state rows (stage: next input;
+    #                  final: the damped update) for panel emission
     if cs is not None:
         for c in range(dim):
-            out_ref[c * npp : (c + 1) * npp, :] = (
-                ub_ref[c * npp : (c + 1) * npp, :] + cs * du_rows[c])
+            row = ub_ref[c * npp : (c + 1) * npp, :] + cs * du_rows[c]
+            out_ref[c * npp : (c + 1) * npp, :] = row
+            eu.append(row)
         for c in range(n_sig):
-            out_ref[nu + c * npp : nu + (c + 1) * npp, :] = (
-                sb_ref[c * npp : (c + 1) * npp, :] + cs * ds_rows[c])
+            row = sb_ref[c * npp : (c + 1) * npp, :] + cs * ds_rows[c]
+            out_ref[nu + c * npp : nu + (c + 1) * npp, :] = row
+            es.append(row)
         off = nu + ns
     dmp = dmp_ref[:] if use_damp else None
     for c in range(dim):
         row = au_ref[c * npp : (c + 1) * npp, :] + wa * du_rows[c]
-        out_ref[off + c * npp : off + (c + 1) * npp, :] = (
-            dmp * row if use_damp else row)
+        if use_damp:
+            row = dmp * row
+        out_ref[off + c * npp : off + (c + 1) * npp, :] = row
+        if cs is None:
+            eu.append(row)
     for c in range(n_sig):
         row = as_ref[c * npp : (c + 1) * npp, :] + wa * ds_rows[c]
-        out_ref[off + nu + c * npp : off + nu + (c + 1) * npp, :] = (
-            dmp * row if use_damp else row)
+        if use_damp:
+            row = dmp * row
+        out_ref[off + nu + c * npp : off + nu + (c + 1) * npp, :] = row
+        if cs is None:
+            es.append(row)
+    if emit:
+        V = voigt_map(dim)
+        R = drr_ref[:][dim * npp :, :]
+        nd = [fixed[8][d * ftpp : (d + 1) * ftpp, :] for d in range(dim)]
+        eb = off + nu + ns
+        for c in range(dim):
+            out_ref[eb + c * ftpp : eb + (c + 1) * ftpp, :] = _dot(R, eu[c])
+        own_s = [_dot(R, es[c]) for c in range(n_sig)]
+        eb += dim * ftpp
+        for c in range(dim):
+            tt = sum(nd[dd] * own_s[V[c, dd]] for dd in range(dim))
+            out_ref[eb + c * ftpp : eb + (c + 1) * ftpp, :] = tt
 
 
 def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
@@ -754,7 +793,8 @@ def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
                            acc_u, acc_s, wa, base_u=None, base_s=None,
                            cs=None, inject=None, damp_row=None,
                            block: int = DEFAULT_BLOCK,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           emit: bool = False) -> jax.Array:
     """Coupled Godunov RHS with the RK4 stage/accumulator axpys fused
     into the kernel epilogue (see _upwind_kernel_sel_axpy).
 
@@ -763,7 +803,11 @@ def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
     Final mode: ((dim+n_sig)*npp, E_pad) rows [u_acc; s_acc].
     inject: None or [(Su (dim*npp, E_pad), Ss (n_sig*npp, E_pad),
     r (8, E_pad)), ...] kernel-fused dense source groups (k += r*S).
-    damp_row ((npp, E_pad), final mode only): in-register sponge."""
+    damp_row ((npp, E_pad), final mode only): in-register sponge.
+    emit: append [TU (dim*ftpp); TT (dim*ftpp)] own-face panels of the
+    emitted state (producer-side panel emission — the caller passes
+    panels_u/panels_t taken from the PREVIOUS call's emission and the
+    matching ftpp-layout selcfg)."""
     zpn, zsn, zown = uw
     geo = [_pad_lanes(x, block)
            for x in (d.ginv, d.nrm, d.fsc, d.irho, d.lam, d.mu,
@@ -774,12 +818,14 @@ def upwind_rhs_lm_sel_axpy(d: PallasOpData, uw, u_lm, s_lm, panels_u,
     assert damp_row is None or not stage, "damp folds into final mode"
     inject = inject or []
     out_rows = (2 if stage else 1) * (d.dim + d.n_sig) * d.npp
+    if emit:
+        out_rows += 2 * d.dim * d.ftpp
     # cs/wa are RK4 coefficients derived from the (static) dt — bake them
     # into the kernel as immediates rather than passing scalar operands
     kernel = functools.partial(
         _upwind_kernel_sel_axpy, d.dim, d.n_sig, d.npp, d.ftpp, selcfg,
         float(cs) if stage else None, float(wa), len(inject),
-        damp_row is not None)
+        damp_row is not None, emit)
     extra = [x for g in inject for x in g]
     extra += ([base_u, base_s, acc_u, acc_s] if stage
               else [acc_u, acc_s])

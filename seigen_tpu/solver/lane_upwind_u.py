@@ -68,6 +68,7 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         interpret: bool = False,
         visco=None,
         fused_axpy: bool = True,
+        panel_emit: bool = False,
     ):
         kw = {} if block is None else {"block": block}
         super().__init__(p, dt, centroids=centroids, src=src, damp=damp,
@@ -147,6 +148,30 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
                                   jnp.asarray(Ss, self.dtype)))
                     self._src_groups.append((f0g, t0g))
                 self.src_dense = tuple(dense)
+        # producer-side panel emission (r5 gather lever, opt-in): each
+        # stage kernel appends the own-face panels of its EMITTED state
+        # (restriction + producer traction contraction in VMEM), so the
+        # next stage's gather is ONLY the nf lane takes — the XLA
+        # own-rows pass (measured 3.94 of the 6.47 ms panel gather at
+        # E=83k P3, results/r5_ab_upwind_u_split.json) never runs.
+        # Requires the in-kernel epilogue to emit FINAL state values:
+        # fused-axpy path, dense (or no) sources, in-register damp.
+        self.panel_emit = False
+        if panel_emit:
+            if not self.fused_axpy:
+                raise ValueError(
+                    "panel_emit requires the fused-axpy elastic path")
+            if src is not None and self.src_dense is None:
+                raise ValueError(
+                    "panel_emit requires dense source groups (<= 2 "
+                    "distinct wavelets) or no sources — the scatter "
+                    "fallback mutates the state after the kernel")
+            C, nf_, nfp_, ftp, ftpp, _rows, fc, pm = self._pg_u[3]
+            # consumer layout for KERNEL-emitted panels: per-component
+            # ftpp sections (aligned rows), so ftp -> ftpp and
+            # rows_pad -> C*ftpp in the select's row arithmetic
+            self._selcfg_e = (C, nf_, nfp_, ftpp, ftpp, C * ftpp, fc, pm)
+            self.panel_emit = True
         if visco is not None:
             def vrows(a):  # (E, L) old order -> (L, 1, E_pad)
                 r = np.asarray(a)[old].T
@@ -201,6 +226,76 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         xs = xs.at[:, self.src_elems].add(aux["src_vs"] * rr)
         return xu, xs
 
+    # --- producer-side panel emission (opt-in fast path) ---------------
+    def _own_rows_e(self, ulm, slm):
+        """Initial (TU, TT) own-face panels in the EMISSION layout
+        (per-component ftpp sections, E_pad columns) — the scan-entry
+        seed; every subsequent step's panels come from the kernels."""
+        C, nf, nfp, ftp, ftpp, _rows, _fc, _pm = self._pg_u[3]
+        E_pad = ulm.shape[1]
+
+        def relay(T):  # (rows_pad, E) gather layout -> (C*ftpp, E_pad)
+            out = jnp.zeros((C * ftpp, E_pad), T.dtype)
+            for c in range(C):
+                out = out.at[c * ftpp : c * ftpp + ftp, : T.shape[1]].set(
+                    T[c * ftp : (c + 1) * ftp])
+            return out
+
+        return (relay(self._pg_u[0].own_rows_fn(ulm)),
+                relay(self._pg_t[0].own_rows_fn(slm)))
+
+    def _step_emit(self, d, aux, carry, t):
+        """Fused RK4 step with producer-side panel emission: carry is
+        (ulm, slm, (TU, TT)) — each kernel consumes the lane TAKES of
+        the previous kernel's emitted panels and appends the panels of
+        its own output; the XLA restriction pass never runs."""
+        ulm, slm, (TU, TT) = carry
+        h = self._dt_f
+        h2, w = 0.5 * h, h / 6.0
+        uw = (aux["zpn"], aux["zsn"], aux["zown"])
+        dense = aux.get("src_dense")
+        damp_row = aux.get("damp_row")
+        tku = self._pg_u[0].takes_fn
+        tkt = self._pg_t[0].takes_fn
+
+        def inj(t_):
+            if dense is None:
+                return None
+            return [
+                (dense[g][0], dense[g][1],
+                 jnp.full((8, ulm.shape[1]),
+                          ricker(t_, *self._src_groups[g]), self.dtype))
+                for g in range(len(dense))
+            ]
+
+        def call(uin, sin, TU_, TT_, au, asg, wa, t_, bu=None, bs=None,
+                 cs=None, dmp=None):
+            return upwind_rhs_lm_sel_axpy(
+                d, uw, uin, sin, tku(TU_), tkt(TT_), aux["uw_combo"],
+                aux["sign_u"], aux["sign_t"], self._selcfg_e, au, asg,
+                wa, bu, bs, cs, inj(t_), dmp, self.block,
+                self.interpret, emit=True)
+
+        nu, ns = d.dim * d.npp, d.n_sig * d.npp
+        ne = d.dim * d.ftpp
+
+        def split(o):  # stage mode + emission tail
+            b = 2 * (nu + ns)
+            return (o[:nu], o[nu : nu + ns], o[nu + ns : 2 * nu + ns],
+                    o[2 * nu + ns : b], o[b : b + ne], o[b + ne :])
+
+        s2u, s2s, au, asg, TU, TT = split(
+            call(ulm, slm, TU, TT, ulm, slm, w, t, ulm, slm, h2))
+        s3u, s3s, au, asg, TU, TT = split(
+            call(s2u, s2s, TU, TT, au, asg, 2 * w, t + h2, ulm, slm, h2))
+        s4u, s4s, au, asg, TU, TT = split(
+            call(s3u, s3s, TU, TT, au, asg, 2 * w, t + h2, ulm, slm, h))
+        # final stage: in-register damp (the panel_emit gate guarantees
+        # no scatter source follows), panels of the DAMPED final state
+        o = call(s4u, s4s, TU, TT, au, asg, w, t + h, dmp=damp_row)
+        u_n, s_n = o[:nu], o[nu : nu + ns]
+        return u_n, s_n, (o[nu + ns : nu + ns + ne], o[nu + ns + ne :])
+
     # --- RK4 step ----------------------------------------------------------
     def step_with(self, d, aux, carry, t):
         """One RK4 step.  Elastic default: the fused-epilogue path (the
@@ -211,6 +306,8 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
         glue path: anelastic rates need the raw ds_el of every stage."""
         if not self.fused_axpy:
             return self._step_glue(d, aux, carry, t)
+        if self.panel_emit:
+            return self._step_emit(d, aux, carry, t)
         ulm, slm, _ = carry
         h = self._dt_f
         h2, w = 0.5 * h, h / 6.0
@@ -309,6 +406,11 @@ class UnstructuredUpwindRunner(UnstructuredLaneRunner):
 
             @functools.partial(jax.jit, static_argnames=("n",))
             def go(d, aux, ulm, slm, xi, n, k0):
+                if self.panel_emit:
+                    # seed the emission carry: own-face panels of the
+                    # entry state (once per scan; kernels emit the rest)
+                    xi = self._own_rows_e(ulm, slm)
+
                 def body(carry, k):
                     carry = self.step_with(
                         d, aux, carry, k.astype(self.dtype) * self.dt)

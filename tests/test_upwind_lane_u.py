@@ -234,3 +234,67 @@ def test_upwind_lane_u_fused_scatter_fallback_matches_glue():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out_f.s), np.asarray(out_g.s),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_upwind_lane_u_panel_emit_matches_glue():
+    """Producer-side panel emission (r5 gather lever): each stage kernel
+    appends the own-face (u, traction) panels of its emitted state and
+    the next stage gathers ONLY the nf lane takes.  Same config as the
+    fused-vs-glue test (dense source group + sponge damp, scrambled
+    mesh): emit == glue == fused to roundoff."""
+    ext = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        _scramble(rect_mesh(5, 4), 7), 2,
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(1, "hi")]))
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    w = build_upwind_data(dm, MAT, dtype=jnp.float32)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
+    src = build_sources(
+        dm, [PointSource(position=(0.5, 0.5), f0=4.0, radius=0.25)],
+        dtype=jnp.float32)
+    damp = jnp.asarray(sponge_mask(dm, [(0, "lo")], width=0.3),
+                       jnp.float32)
+    st = _state(dm, dm.dim)
+    rcv = build_receivers(dm, line((0.2, 0.8), (0.8, 0.8), 3),
+                          dtype=jnp.float32)
+    kw = dict(src=src, damp=damp, receivers=rcv, block=8, interpret=True,
+              centroids=np.asarray(dm.coords.mean(axis=1)))
+    run_e = UnstructuredUpwindRunner(p, w, dt, panel_emit=True, **kw)
+    run_g = UnstructuredUpwindRunner(p, w, dt, fused_axpy=False, **kw)
+    assert run_e.panel_emit and run_e.src_dense is not None
+    out_e, seis_e = run_e.run(st, 4)
+    out_g, seis_g = run_g.run(st, 4)
+    np.testing.assert_allclose(np.asarray(out_e.u), np.asarray(out_g.u),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_e.s), np.asarray(out_g.s),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(seis_e), np.asarray(seis_g),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_upwind_lane_u_panel_emit_3d_resume():
+    """3D emission path, no sources (the other gate branch), with the
+    chunked-resume seam: panels re-seed from state at chunk entry, so
+    run(2)+run(2) == run(4)."""
+    ext = ((0.0, 1.0),) * 3
+    dm = build_discrete(
+        _scramble(box_mesh(3, 3, 3), 11), 2,
+        bc_fn=absorbing_bc_fn(ext, free_sides=[(2, "hi")]))
+    p = build_params(dm, MAT, dtype=jnp.float32)
+    w = build_upwind_data(dm, MAT, dtype=jnp.float32)
+    dt = cfl_dt(dm.h.min(), 2.0, 2, 0.25)
+    st = _state(dm, dm.dim)
+    kw = dict(block=8, interpret=True,
+              centroids=np.asarray(dm.coords.mean(axis=1)))
+    run_e = UnstructuredUpwindRunner(p, w, dt, panel_emit=True, **kw)
+    run_f = UnstructuredUpwindRunner(p, w, dt, **kw)
+    out_e, _ = run_e.run(st, 4)
+    out_f, _ = run_f.run(st, 4)
+    np.testing.assert_allclose(np.asarray(out_e.u), np.asarray(out_f.u),
+                               rtol=2e-5, atol=2e-6)
+    mid, _ = run_e.run(st, 2)
+    out_r, _ = run_e.run(mid, 2, step0=2)
+    np.testing.assert_allclose(np.asarray(out_r.u), np.asarray(out_e.u),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_r.s), np.asarray(out_e.s),
+                               rtol=2e-5, atol=2e-6)
