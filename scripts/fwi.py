@@ -459,8 +459,9 @@ def main():
     precond = None
     if args.precond == "illum":
         if ldf is None or not hasattr(ldf, "illumination"):
-            raise SystemExit("--precond illum needs --grad-path "
-                             "lane/merged/lane_u (single-chip engines)")
+            raise SystemExit("--precond illum needs a lane-path gradient "
+                             "engine (--grad-path lane/merged/lane_u, "
+                             "single-chip or --dd-shards)")
         t_il = time.perf_counter()
         illum = ldf.illumination()  # in the starting model p0
         precond = 1.0 / (illum + 0.01 * illum.max())

@@ -150,9 +150,13 @@ class DomainDecomposedFwi:
         return {"lam": place(lam, 0.0), "mu": place(mu, 0.0),
                 "irho": place(irho, 1.0)}
 
-    def _forward(self, theta, defaults, dd, ww, aux, src_k):
+    def _forward(self, theta, defaults, dd, ww, aux, src_k, illum=False):
         """(n_steps, R, dim) seismograms; runs UNDER jit, shard_map
-        inside."""
+        inside.  ``illum=True``: instead of sampling receivers, the scan
+        accumulates the per-lane source-side illumination sum_k |u|^2
+        (the diagonal pseudo-Hessian proxy, solver/lane_diff.py
+        illumination) and returns the shard-gathered lane rows — packed
+        layouts keep per-ROW sums so paired elements stay separable."""
         r = self.runner
         d = r.d
         A, B = self._make_ops()
@@ -231,6 +235,21 @@ class DomainDecomposedFwi:
             u0 = jnp.zeros((dim * npp, L_loc), self.dtype)
             s0 = jnp.zeros((n_sig * npp, L_loc), self.dtype)
 
+            if illum:  # forward-only |u|^2 accumulation (no AD, no rcv)
+                acc0 = jnp.zeros((npp, L_loc) if self._npar > 1
+                                 else (L_loc,), self.dtype)
+
+                def ibody(carry, k):
+                    u, s, acc = carry
+                    u, s = lf(u, s, k.astype(self.dtype) * self.dt)
+                    u2 = (jnp.sum((u * u).reshape(dim, npp, -1), axis=0)
+                          if self._npar > 1 else jnp.sum(u * u, axis=0))
+                    return (u, s, acc + u2), None
+
+                (_, _, acc), _ = jax.lax.scan(
+                    ibody, (u0, s0, acc0), jnp.arange(n))
+                return acc
+
             def body(carry, k):
                 carry = lf(carry[0], carry[1],
                            k.astype(self.dtype) * self.dt)
@@ -258,10 +277,13 @@ class DomainDecomposedFwi:
             return seis
 
         mrows_p = self._mrows(theta, defaults)
+        out_specs = P()
+        if illum:  # shard-local lane rows -> global lane axis
+            out_specs = P(None, AXIS) if self._npar > 1 else P(AXIS)
         return jax.shard_map(
             inner, mesh=r.mesh,
             in_specs=(d_specs, w_specs, aux_specs, m_specs, src_specs),
-            out_specs=P(),
+            out_specs=out_specs,
             check_vma=False,
         )(dd, ww, aux, mrows_p, src_k)
 
@@ -287,6 +309,42 @@ class DomainDecomposedFwi:
             out.append(np.asarray(self._synth_one(
                 theta, self._theta0, r.d, self.w, aux, sk)))
         return np.stack(out)
+
+    def illumination(self, theta: dict | None = None):
+        """Source-side illumination I_e = sum over shots, steps, nodes,
+        components of u^2, accumulated INSIDE the shard_map'd forward
+        scan (the DD analog of LaneDiffFwi.illumination — one extra
+        per-lane VPU reduction per step, no wavefield storage, lane rows
+        gathered over the mesh axis).  Returns (E,) float64 in original
+        element order; use e.g. ``precond = 1/(I + 0.01*I.max())`` with
+        solver.fwi.invert."""
+        r = self.runner
+        aux = self._aux()
+        if not hasattr(self, "_illum_one"):
+            self._illum_one = jax.jit(
+                lambda th, df, dd, ww, auxg, sk:
+                self._forward(th, df, dd, ww, auxg, sk, illum=True))
+        th = {} if theta is None else theta
+        src_np = jax.tree.map(np.asarray, self.src)  # host pre-slice
+        tot = np.zeros((self._hp * self._npar, self._L)
+                       if self._npar > 1 else (self._L,), np.float64)
+        for k in range(self.n_shots):
+            sk = jax.tree.map(lambda x, k=k: x[k], src_np)
+            tot += np.asarray(self._illum_one(
+                th, self._theta0, r.d, self.w, aux, sk), np.float64)
+        out = np.zeros(self.E, np.float64)
+        if self._npar == 1:
+            out[np.asarray(self._perm)] = tot[self._lanes_np]
+        else:
+            # packed: paired elements live on one lane's disjoint parity
+            # row sections — extract each element's own section sum
+            vals = np.zeros(self.E, np.float64)
+            for par in range(self._npar):
+                kk = np.where(self._pars_np == par)[0]
+                vals[kk] = tot[par * self._hp : (par + 1) * self._hp,
+                               self._lanes_np[kk]].sum(axis=0)
+            out[np.asarray(self._perm)] = vals
+        return out
 
     def vg_factory(self, taps):
         if self.observed is None:
