@@ -85,3 +85,41 @@ def test_unstructured_sharded_gradient_matches_single_chip(n_shards):
     np.testing.assert_allclose(
         np.asarray(g_sh["vp"]), np.asarray(g_ref["vp"]),
         rtol=1e-7, atol=1e-10 * scale)
+
+
+def test_unstructured_sharded_illumination_matches_single_chip():
+    """DD illumination on the unstructured Morton-block engine == the
+    single-chip lane_u engine's (generic DomainDecomposedFwi path over
+    a scrambled mesh)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    rng = np.random.default_rng(29)
+    topo = rect_mesh(8, 4)
+    topo = _dc.replace(topo, cells=topo.cells[rng.permutation(
+        topo.num_cells)], structure=None)
+    extents = ((0.0, 1.0), (0.0, 1.0))
+    dm = build_discrete(
+        topo, 2, bc_fn=absorbing_bc_fn(extents, free_sides=[(1, "hi")]))
+    E = dm.num_elements
+    p0 = build_params(
+        dm, Material(rho=1.0 + rng.random(E), vp=2.0 + rng.random(E),
+                     vs=0.8 + 0.3 * rng.random(E)), dtype=jnp.float64)
+    dt = cfl_dt(float(dm.h.min()), 3.0, 2, 0.3)
+    src = build_sources(
+        dm, [PointSource(position=(0.45, 0.6), f0=10.0, t0=0.0,
+                         amplitude=100.0, radius=0.2)],
+        dtype=jnp.float64)
+    rcv = build_receivers(dm, line((0.2, 0.85), (0.8, 0.85), 3),
+                          dtype=jnp.float64)
+    damp = jnp.asarray(
+        sponge_mask(dm, [(0, "lo"), (0, "hi")], width=0.25), jnp.float64)
+    ldf = LaneDiffFwi(p0, dm, None, dt, 8, stack_shots([src]), rcv, None,
+                      damp=damp, block=8, interpret=True, engine="lane_u")
+    sh = ShardedUnstructuredDiffFwi(
+        p0, dm, dt, 8, stack_shots([src]), rcv, None, 2, damp=damp,
+        block=8, interpret=True, devices=jax.devices()[:2])
+    i_ref = ldf.illumination()
+    i_sh = sh.illumination()
+    assert i_ref.max() > 0
+    np.testing.assert_allclose(i_sh, i_ref, rtol=1e-9,
+                               atol=1e-12 * i_ref.max())
