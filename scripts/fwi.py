@@ -125,6 +125,20 @@ def main():
                     help="npz output (true/init/final vp, misfits)")
     args = ap.parse_args()
 
+    n_dev = max(args.dd_shards, args.grad_shards)
+    if n_dev > 1 and args.cpu:
+        # provision virtual CPU devices before the backend initializes
+        # (exactly as scripts/explosive_source.py does for --shards; a
+        # 2-shard plan over a 1-device mesh fails with downstream shape
+        # mismatches otherwise)
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_dev}"
+            ).strip()
+
     import jax
 
     # fresh XLA compiles through the axon tunnel can take ~14 min

@@ -230,6 +230,12 @@ class ShardedFusedRunner:
 
         devices = (
             devices if devices is not None else jax.devices()[:n_shards])
+        if len(devices) != n_shards:
+            raise ValueError(
+                f"need {n_shards} devices for {n_shards} shards, got "
+                f"{len(devices)} — on CPU provision virtual devices "
+                "first (XLA_FLAGS=--xla_force_host_platform_"
+                "device_count=N)")
         self.mesh = Mesh(np.array(devices), (AXIS,))
 
         # old_of_new is indexed by the DENSE new order (shard, cls, cell);

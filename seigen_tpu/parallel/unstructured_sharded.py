@@ -106,7 +106,14 @@ class ShardedUnstructuredRunner:
         E_pad = E_loc * Pn
         self.E, self.E_loc, self.E_pad = E, E_loc, E_pad
 
-        devices = devices if devices is not None else jax.devices()[:Pn]
+        devices = (
+            devices if devices is not None else jax.devices()[:Pn])
+        if len(devices) != Pn:
+            raise ValueError(
+                f"need {Pn} devices for {Pn} shards, got "
+                f"{len(devices)} — on CPU provision virtual devices "
+                "first (XLA_FLAGS=--xla_force_host_platform_"
+                "device_count=N)")
         self.mesh = Mesh(np.array(devices), (AXIS,))
 
         # --- element order: Morton curve, contiguous block per shard ---
