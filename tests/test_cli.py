@@ -367,3 +367,23 @@ def test_explosive_source_cli_pml(tmp_path):
                  "--degree", "1", "--T", "0.05", "--pml", "0.2", "--cpu",
                  "--shards", "2"])
     assert r.returncode != 0
+
+
+def test_fwi_cli_dd_shards_illum_self_provisions(tmp_path):
+    """--dd-shards + --precond illum on --cpu must self-provision
+    virtual devices (r5 fix: a 2-shard plan over a 1-device mesh died
+    with shape mismatches).  Runs WITHOUT the test env's XLA_FLAGS so
+    the script's own provisioning is what's under test."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    env.pop("XLA_FLAGS", None)
+    out = str(tmp_path / "fwi_dd.npz")
+    r = subprocess.run(
+        [sys.executable, "scripts/fwi.py", "--n", "8", "--degree", "1",
+         "--iters", "2", "--shots", "2", "--T", "1.0", "--cpu",
+         "--dd-shards", "2", "--grad-path", "merged",
+         "--precond", "illum", "--out", out],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "illumination precond" in r.stdout
+    z = np.load(out)
+    assert np.all(np.isfinite(z["vp_final"]))
