@@ -159,7 +159,13 @@ def main():
     # rounds; the live remeasurement is recorded alongside.
     live_rate = cpu_baseline_rate() if backend != "cpu" else None
 
-    out = bench_main(n=24, degree=3, n_steps=50,
+    # n_steps 50 -> 100 (round 5): the ~10-15 ms fixed tunnel
+    # dispatch+readback per timed rep is ~8% of a 50-step scan at the
+    # flagship rate — 100 steps amortizes it below 3% (production scans
+    # run thousands of steps; the per-degree table always used 100).
+    # Same-session apples-to-apples: 50-step 4.36/4.24e9, 100-step
+    # 4.76e9 (BENCH_NOTES round-5 headline note).
+    out = bench_main(n=24, degree=3, n_steps=100,
                      baseline_dof_rate=PINNED_CPU_BASELINE_DOF_RATE)
     out["detail"]["cpu_baseline_dof_rate_pinned"] = (
         PINNED_CPU_BASELINE_DOF_RATE)
